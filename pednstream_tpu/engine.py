@@ -1,0 +1,439 @@
+"""The TPU-native LTM engine: one pure step function, vectorized over links
+and nodes, scanned over time.
+
+Semantics re-derived from the reference hot loop (SURVEY.md §3.2):
+
+  Network.network_loading(t)                       src/LTM/network.py:266-287
+    per node: turning fractions                    path_finder.py:717-737
+    per node: assign_flows(t)                      node.py:164-221
+      sending flows   (from state t-1)             link.py:216-370
+      receiving flows (uses reverse sending of t)  link.py:372-416
+      solve (OneToOne crossing / classic merge)    node.py:230-242, 272-300
+      update_links (write cum in/out at t)         node.py:146-162
+    update_link_states(t)                          network.py:257-264
+      density update                               link.py:133-139
+      speed/travel-time/FD update                  link.py:141-188
+
+Key structural fact making this vectorizable: within one step, every
+sending flow depends only on state at t-1, and every receiving flow
+depends only on the *just-computed sending flow of its reverse link* —
+which in a bidirectional network is always an incoming link of the same
+node, computed in the same ``assign_flows`` call (node.py:172-206).  So
+there is no sequential dependency across the reference's Python node
+loop, and the whole step collapses to fixed-shape array ops:
+
+  S[E] -> R[E](S[rev]) -> per-node padded merge/diverge -> scatter-free
+  gather write-back -> density/FD state update.
+
+Stochastic terms (binomial release link.py:337-358, activity :350-358,
+reverse occupancy thinning :382) run in two modes:
+  * ``deterministic``: binomial(n, p) -> floor(n) * p (expectation), the
+    mode used for golden-trajectory parity tests;
+  * ``stochastic``: jax.random.binomial draws under an explicit PRNG key.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .routing import turning_fractions_step
+from .state import EngineParams, NetworkState, StepOutputs
+
+
+def _ring_read(ring: jnp.ndarray, time_idx: jnp.ndarray, H: int) -> jnp.ndarray:
+    """Read per-link ring values at (possibly per-link) time indices."""
+    idx = jnp.mod(time_idx, H)
+    if idx.ndim == 0:
+        return ring[:, idx]
+    return jnp.take_along_axis(ring, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+def _nofma(scn, x):
+    """Block XLA FP contraction (mul+add -> FMA) in exact-parity mode.
+
+    Inside large fused kernels LLVM may contract ``a*b + c`` into an FMA,
+    changing the last-ulp rounding vs NumPy's two-rounding evaluation.
+    Because the engine floors/rounds flows at integer boundaries, a 1-ulp
+    difference flips whole pedestrians.  An optimization_barrier on the
+    products keeps the add un-contracted.  No-op on the fast path."""
+    if getattr(scn, "exact_parity", False):
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
+def _binom(key, n, p, stochastic: bool):
+    """Binomial with numpy-style float-n truncation (np.random.binomial
+    truncates non-integer n).  Deterministic mode returns the expectation
+    floor(n) * p."""
+    nf = jnp.floor(jnp.maximum(n, 0.0))
+    if not stochastic:
+        return nf * p
+    return jax.random.binomial(key, nf, jnp.clip(p, 0.0, 1.0)).astype(n.dtype)
+
+
+def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic):
+    """Vectorized Link.cal_sending_flow(t-1) over all directed links
+    (link.py:216-370).
+
+    Dtype staging mirrors the reference's NumPy promotion: density /
+    congestion / release factors and the diffusion coefficient F stay in
+    float32 (the dtype of the stored state arrays, link.py:82-97), while
+    N-curve and flow arithmetic runs in the flow dtype.
+    """
+    f = scn.ftype
+    f32 = jnp.float32
+    rev = scn.reverse_idx
+    dt = scn.unit_time
+    ts = t - 1
+
+    num_peds32 = st.num_peds  # f32
+    area = jnp.where(
+        scn.is_separator, ep.length * st.sep_width, ep.length * ep.width
+    )
+    area32 = area.astype(f32)
+    # get_density(ts): shared bidirectional for Link (link.py:190-197),
+    # stored own density for Separator (link.py:427-428)
+    shared_density32 = jnp.where(
+        scn.is_separator, st.density, (num_peds32 + num_peds32[rev]) / area32
+    )
+    own_density32 = st.density
+
+    avg_tt = st.avg_tt  # float32, value at ts
+    tau = jnp.round(avg_tt / dt).astype(jnp.int32)  # link.py:260
+
+    early = ts < scn.free_flow_tau  # link.py:267-269
+
+    # free-flow / congestion blended N-curve boundary (link.py:274-288)
+    idx = jnp.maximum(0, t - tau)  # = ts + 1 - tau
+    cum_in_at = _ring_read(st.cum_in_ring, idx, scn.H)
+    cf32 = jnp.clip(
+        (own_density32 - ep.k_critical.astype(f32))
+        / (ep.k_jam - ep.k_critical).astype(f32),
+        0.0,
+        1.0,
+    )
+    boundary_freeflow = jnp.maximum(0.0, cum_in_at - st.cum_out)
+    boundary = _nofma(scn, (cf32 * num_peds32).astype(f)) + _nofma(
+        scn, (f32(1.0) - cf32).astype(f) * boundary_freeflow
+    )
+
+    front_gate = st.back_gate[rev]  # link.py:110-126 cross-coupling
+    cap = front_gate * ep.k_critical * ep.free_flow_speed * dt  # link.py:296
+    sending = jnp.minimum(boundary, cap)
+    original = sending
+
+    # stochastic release mitigation (link.py:309-346); factors in f32
+    releasing_factor32 = jnp.clip(shared_density32 / ep.k_jam.astype(f32), 0.0, 1.0)
+    releasing_prob32 = f32(0.7) + _nofma(
+        scn, f32(0.15) * releasing_factor32 ** f32(0.8)
+    )  # exponent=0.8, link.py:80
+
+    # diffusion outflow, 4 lagged inflows (get_outflow, link.py:199-214);
+    # F is f32 (gamma * avg_tt_f32), lag terms accumulate left-to-right in
+    # the flow dtype as in the reference expression (link.py:210-212)
+    F = f32(1.0) / (f32(1.0) + _nofma(scn, ep.gamma.astype(f32) * avg_tt))
+    base = ts - tau
+    infl = []
+    for k in range(4):
+        i_k = base - k
+        v = _ring_read(st.inflow_ring, jnp.maximum(i_k, 0), scn.H)
+        infl.append(jnp.where(i_k >= 0, v, 0.0))
+    one_m_f = f32(1.0) - F
+    diff_raw = (
+        (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
+        + _nofma(scn, (F * one_m_f**2) * infl[2])
+    ) + _nofma(scn, (F * one_m_f**3) * infl[3])
+    diffusion = jnp.maximum(jnp.ceil(diff_raw), 0.0)
+
+    freeflow = shared_density32 <= ep.k_critical.astype(f32)
+    # platoon mix (link.py:329-330).  NB the reference computes the second
+    # coefficient as (1 - weight) = 0.19999999999999996, not 0.2 — the
+    # 1-ulp difference flips floor() at integer boundaries.
+    w_mix = 0.8
+    mixed = jnp.floor(
+        jnp.minimum(
+            _nofma(scn, w_mix * diffusion) + _nofma(scn, (1.0 - w_mix) * sending),
+            sending,
+        )
+    )
+    released = _binom(keys[0], sending, releasing_prob32, stochastic)  # link.py:336-343
+    s_pos = jnp.where(freeflow, jnp.where(diffusion > 0, mixed, released), released)
+    sending = jnp.where(sending > 0, s_pos, sending)
+
+    # activity stay (link.py:350-358)
+    staying = _binom(keys[1], sending, ep.activity_probability, stochastic)
+    sending = jnp.where(
+        (ep.activity_probability > 0) & (sending > 1), sending - staying, sending
+    )
+
+    # EMA smoothing against previous sending flow (link.py:362-364)
+    sending = jnp.maximum(0.0, sending)
+    sending = jnp.minimum(
+        jnp.floor(_nofma(scn, 0.8 * sending) + _nofma(scn, 0.2 * st.sending_prev)),
+        original,
+    )
+
+    S = jnp.where(early, 0.0, sending).astype(f)
+    return S, shared_density32
+
+
+def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochastic):
+    """Vectorized cal_receiving_flow(_with_reverse) (link.py:372-416) and
+    the Separator variant (link.py:480-512)."""
+    f = scn.ftype
+    rev = scn.reverse_idx
+    dt = scn.unit_time
+
+    area = jnp.where(
+        scn.is_separator, ep.length * st.sep_width, ep.length * ep.width
+    )
+    num_peds = st.num_peds.astype(f)
+
+    early = (t - scn.tau_shockwave) < 0  # ts + 1 - tau_shockwave < 0
+    cum_out_at = _ring_read(st.cum_out_ring, jnp.maximum(t - scn.tau_shockwave, 0), scn.H)
+
+    rev_rand = _binom(key, num_peds[rev], 0.9, stochastic)  # link.py:382
+    kjam_area = ep.k_jam * area
+
+    b_link = jnp.where(
+        early,
+        kjam_area - rev_rand,
+        jnp.maximum(0.0, cum_out_at + kjam_area - rev_rand - st.cum_in),
+    )
+    b_sep = jnp.where(early, kjam_area, cum_out_at + kjam_area - st.cum_in)
+    boundary = jnp.where(scn.is_separator, b_sep, b_link)
+
+    cap = st.back_gate * ep.k_critical * ep.free_flow_speed * dt  # link.py:393
+    rf = jnp.minimum(boundary, cap)
+    rf = jnp.maximum(rf, 0.0)
+
+    # smoothing against stored receiving flow (link.py:399-401)
+    rf = jnp.where(
+        st.recv_prev >= 0,
+        jnp.minimum(
+            jnp.floor(_nofma(scn, rf * 0.8) + _nofma(scn, st.recv_prev * 0.2)), rf
+        ),
+        rf,
+    )
+
+    # reverse-sending subtraction (link.py:407-416); separators skip it
+    R = jnp.where(
+        scn.is_separator, jnp.maximum(rf, 0.0), jnp.maximum(rf - S[rev], 0.0)
+    ).astype(f)
+    return R
+
+
+def _node_solve(scn, ep: EngineParams, st: NetworkState, t, S, R, phi):
+    """Padded merge/diverge over all nodes at once.
+
+    Gathers per-node sending/receiving vectors (node.py:164-221 with the
+    origin-demand and destination-M special cases), solves OneToOne by the
+    crossing rule (node.py:230-242) and Regular by the 'classic'
+    proportional supply allocation (node.py:272-300), then gathers flows
+    back to the link axis.
+    """
+    f = scn.ftype
+    N, M = scn.n_nodes, scn.max_deg
+
+    demand_t = ep.demand[:, t - 1].astype(f)  # node.py:176
+
+    in_idx = scn.in_link_idx  # [N, M]
+    out_idx = scn.out_link_idx
+    in_safe = jnp.maximum(in_idx, 0)
+    out_safe = jnp.maximum(out_idx, 0)
+    virt_slot = scn.has_virtual[:, None] & (jnp.arange(M)[None, :] == 0)
+
+    s_pad = jnp.where(in_idx >= 0, S[in_safe], 0.0)
+    s_pad = jnp.where(virt_slot, demand_t[:, None], s_pad)
+    s_pad = jnp.where(scn.slot_valid, s_pad, 0.0)
+
+    r_pad = jnp.where(out_idx >= 0, R[out_safe], 0.0)
+    r_pad = jnp.where(virt_slot, scn.big_m, r_pad)  # node.py:187 (M = 1e6)
+    r_pad = jnp.where(scn.slot_valid, r_pad, 0.0)
+
+    # --- classic RegularNode solve (node.py:272-300) ---
+    dem_mat = phi * s_pad[:, :, None]  # phi_ij * s_i
+    col_sums = dem_mat.sum(axis=1, keepdims=True)  # [N, 1, M]
+    share = dem_mat / jnp.where(col_sums != 0, col_sums, 1e-5)
+    supply = r_pad[:, None, :] * share
+    g = jnp.floor(jnp.minimum(dem_mat, supply))
+    q_in_reg = jnp.maximum(0.0, g.sum(axis=2))  # outflow of incoming slot i
+    q_out_reg = jnp.maximum(0.0, g.sum(axis=1))  # inflow to outgoing slot j
+
+    # --- OneToOne crossing solve (node.py:230-242): slot k <-> slot 1-k ---
+    s2 = s_pad[:, :2]
+    r2 = r_pad[:, :2]
+    q_in_oto = jnp.minimum(s2, r2[:, ::-1])  # q_in[k] = min(s[k], r[1-k])
+    q_out_oto = jnp.minimum(s2[:, ::-1], r2)  # q_out[k] = min(s[1-k], r[k])
+    pad_zeros = jnp.zeros((N, M - 2), dtype=f) if M > 2 else None
+    if M > 2:
+        q_in_oto = jnp.concatenate([q_in_oto, pad_zeros], axis=1)
+        q_out_oto = jnp.concatenate([q_out_oto, pad_zeros], axis=1)
+
+    otoo = scn.is_otoo[:, None]
+    q_in = jnp.where(otoo, q_in_oto, q_in_reg)
+    q_out = jnp.where(otoo, q_out_oto, q_out_reg)
+
+    # write-back: each directed link is incoming to exactly one node and
+    # outgoing from exactly one node (node.py:146-162)
+    outflow_e = q_in[scn.end_node, scn.end_slot]
+    inflow_e = q_out[scn.start_node, scn.start_slot]
+    virt_dep = jnp.where(scn.has_virtual, q_in[:, 0], 0.0)
+    virt_arr = jnp.where(scn.has_virtual, q_out[:, 0], 0.0)
+    return inflow_e, outflow_e, virt_dep, virt_arr
+
+
+def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, outflow_e, key, stochastic):
+    """Density + FD speed/travel-time update (network.py:257-264,
+    link.py:133-188, Separator variant link.py:430-452)."""
+    from .fd import speed_from_density, link_flow_kv
+
+    f = scn.ftype
+    f32 = jnp.float32
+    rev = scn.reverse_idx
+    W = scn.avg_tt_window
+
+    num_peds = (st.num_peds.astype(f) + (inflow_e - outflow_e)).astype(f32)
+    area = jnp.where(scn.is_separator, ep.length * st.sep_width, ep.length * ep.width)
+    density = num_peds / area.astype(f32)  # f32 division (link.py:136)
+
+    # FD speed in f32 staging (update_speeds, link.py:141-188)
+    k_self = density
+    k_opp = jnp.where(scn.is_separator, f32(0.0), density[rev])
+    k_eff = k_self + _nofma(scn, ep.bi_factor.astype(f32) * k_opp)
+    v = speed_from_density(k_eff, ep.free_flow_speed, ep.k_critical, ep.k_jam, scn.fd_type)
+    if stochastic:
+        noise = (
+            jax.random.normal(key, v.shape, dtype=f) * ep.speed_noise_std
+        )
+        v = jnp.where(ep.speed_noise_std > 0, (v.astype(f) + noise).astype(f32), v)
+    v = jnp.maximum(f32(0.0), v)
+
+    speed = v
+    travel_time = jnp.where(
+        v > 0, ep.length.astype(f32) / jnp.where(v > 0, v, f32(1.0)), scn.max_travel_time
+    )
+    link_flow = link_flow_kv(density, speed)
+
+    # rolling average travel time (link.py:84-91,183-186)
+    run_sum = st.tt_run_sum + travel_time
+    old = _ring_read(st.tt_ring, jnp.full_like(scn.reverse_idx, t - W), W)
+    run_sum = jnp.where(t >= W, run_sum - old, run_sum)
+    avg_tt = jnp.where(t >= W, run_sum / W, scn.travel_time0)
+    tt_ring = st.tt_ring.at[:, t % W].set(travel_time)
+
+    return num_peds, density, speed, travel_time, link_flow, avg_tt, run_sum, tt_ring
+
+
+def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
+            record: bool = True) -> Tuple[NetworkState, Optional[StepOutputs]]:
+    """One full network_loading(t) step as a pure function."""
+    f = scn.ftype
+    t = st.t
+
+    key = st.key
+    if stochastic:
+        key, k_rel, k_act, k_rev, k_noise = jax.random.split(key, 5)
+    else:
+        k_rel = k_act = k_rev = k_noise = key
+
+    # 1) sending flows from state t-1 (all links simultaneously)
+    S, shared_density = _sending_flows(scn, ep, st, t, (k_rel, k_act), stochastic)
+
+    # 2) dynamic turning fractions (path_finder.py:717-737); density and
+    #    receiving-capacity reads are t-1 / t-2 state, so order-free.
+    if scn.routing is not None:
+        cap_default = (
+            st.back_gate * ep.k_critical * ep.free_flow_speed * scn.unit_time
+        ).astype(f)
+        od_flow_t = ep.od_table[:, t]
+        phi = turning_fractions_step(
+            scn.routing, scn.n_nodes, scn.max_deg, scn.node_arity, scn.slot_valid,
+            shared_density, st.recv_prev.astype(f), cap_default, od_flow_t,
+            ep.phi_base,
+        )
+    else:
+        phi = ep.phi_base
+
+    # 3) receiving flows (needs S of reverse links)
+    R = _receiving_flows(scn, ep, st, t, S, k_rev, stochastic)
+
+    # 4) node merge/diverge + write-back
+    inflow_e, outflow_e, virt_dep, virt_arr = _node_solve(scn, ep, st, t, S, R, phi)
+
+    # 5) cumulative curves (node.py:146-162 via link.py:19-25)
+    cum_in = st.cum_in + inflow_e
+    cum_out = st.cum_out + outflow_e
+    cum_in_ring = st.cum_in_ring.at[:, t % scn.H].set(cum_in)
+    cum_out_ring = st.cum_out_ring.at[:, t % scn.H].set(cum_out)
+    inflow_ring = st.inflow_ring.at[:, t % scn.H].set(inflow_e)
+
+    # 6) density/speed updates
+    num_peds, density, speed, travel_time, link_flow, avg_tt, run_sum, tt_ring = (
+        _update_link_states(scn, ep, st, t, inflow_e, outflow_e, k_noise, stochastic)
+    )
+
+    new_state = st.replace(
+        t=t + 1,
+        key=key,
+        cum_in_ring=cum_in_ring,
+        cum_out_ring=cum_out_ring,
+        inflow_ring=inflow_ring,
+        tt_ring=tt_ring,
+        cum_in=cum_in,
+        cum_out=cum_out,
+        inflow=inflow_e,
+        outflow=outflow_e,
+        num_peds=num_peds,
+        density=density,
+        speed=speed,
+        travel_time=travel_time,
+        link_flow=link_flow,
+        avg_tt=avg_tt,
+        tt_run_sum=run_sum,
+        sending_prev=S,
+        recv_prev=R,
+        virt_dep=virt_dep,
+        virt_arr=virt_arr,
+        virt_dep_cum=st.virt_dep_cum + virt_dep,
+        virt_arr_cum=st.virt_arr_cum + virt_arr,
+    )
+
+    out = None
+    if record:
+        out = StepOutputs(
+            inflow=inflow_e, outflow=outflow_e, cum_in=cum_in, cum_out=cum_out,
+            num_peds=num_peds, density=density, speed=speed,
+            travel_time=travel_time, link_flow=link_flow, sending=S,
+            receiving=R, back_gate=st.back_gate, sep_width=st.sep_width,
+            virt_dep=virt_dep, virt_arr=virt_arr,
+        )
+    return new_state, out
+
+
+def make_step(scn, stochastic: bool = False, record: bool = False):
+    """Jitted single-step function ``(params, state) -> (state, outputs)``."""
+
+    @jax.jit
+    def _step(ep: EngineParams, st: NetworkState):
+        return step_fn(scn, ep, st, stochastic=stochastic, record=record)
+
+    return _step
+
+
+def simulate(scn, ep: EngineParams, state: NetworkState, num_steps: int,
+             stochastic: bool = False, record: bool = True):
+    """Run ``num_steps`` loading steps with lax.scan.
+
+    Equivalent to the reference driver loop
+    ``for t in range(1, simulation_steps): network.network_loading(t)``
+    (examples/long_corridor.py:126-127), fused into one XLA program.
+    """
+
+    def body(st, _):
+        return step_fn(scn, ep, st, stochastic=stochastic, record=record)
+
+    final, outs = jax.lax.scan(body, state, None, length=num_steps)
+    return final, outs

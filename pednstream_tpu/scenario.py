@@ -1,0 +1,236 @@
+"""Scenario: compiled static topology + device parameters + state factory.
+
+``build_scenario`` is the TPU-native equivalent of constructing the
+reference ``Network`` object (src/LTM/network.py:56-121): it compiles the
+adjacency matrix, link parameters, controller configuration, demand
+curves, OD tables and routing turn tables into device-ready arrays, and
+produces the initial :class:`NetworkState`.
+"""
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .demand import ODManager, build_demand_table
+from .routing import PathSetBuilder, RoutingTables, build_routing_tables
+from .state import EngineParams, NetworkState
+from .topology import TopologySpec, build_topology, parse_controllers
+
+
+class Scenario:
+    """Static scenario container.
+
+    Holds device constants (index tensors, static per-link lookbacks) as
+    attributes; jitted step functions close over a Scenario instance.
+    Dynamic, randomizable parameters live in :class:`EngineParams` so
+    batched envs can vmap over them.
+    """
+
+    def __init__(
+        self,
+        topo: TopologySpec,
+        params: dict,
+        origin_nodes: List[int],
+        destination_nodes: List[int],
+        engine_params: EngineParams,
+        routing: Optional[RoutingTables],
+        path_builder: Optional[PathSetBuilder],
+        od_manager: Optional[ODManager],
+        pos: Optional[dict] = None,
+        ftype=jnp.float32,
+        exact_parity: bool = False,
+    ):
+        self.exact_parity = exact_parity
+        self.topo = topo
+        self.params = params
+        self.origin_nodes = list(origin_nodes)
+        self.destination_nodes = list(destination_nodes or [])
+        self.pos = pos
+        self.ftype = ftype
+        self.path_builder = path_builder
+        self.od_manager = od_manager
+        self.routing = routing
+
+        self.simulation_steps = int(params["simulation_steps"])
+        self.unit_time = float(params["unit_time"])
+        self.assign_flows_type = params.get("assign_flows_type", "classic")
+        self.big_m = 1e6  # destination virtual receiving flow (node.py:22)
+
+        lp = topo.link_params
+        self.n_nodes = topo.n_nodes
+        self.n_links = topo.n_links
+        self.max_deg = topo.max_deg
+
+        # static index tensors
+        self.reverse_idx = jnp.asarray(topo.reverse_idx)
+        self.in_link_idx = jnp.asarray(topo.in_link_idx)
+        self.out_link_idx = jnp.asarray(topo.out_link_idx)
+        self.slot_valid = jnp.asarray(topo.slot_valid)
+        self.has_virtual = jnp.asarray(topo.has_virtual)
+        self.is_otoo = jnp.asarray(topo.is_otoo)
+        self.node_arity = jnp.asarray(topo.node_arity)
+        self.end_node = jnp.asarray(topo.end_node)
+        self.end_slot = jnp.asarray(topo.end_slot)
+        self.start_node = jnp.asarray(topo.start_node)
+        self.start_slot = jnp.asarray(topo.start_slot)
+        self.is_separator = jnp.asarray(lp.is_separator)
+        self.fd_type = jnp.asarray(lp.fd_type)
+
+        # static per-link derived quantities
+        max_tt = lp.length / 0.05  # jam travel-time clamp (link.py:63)
+        tt0 = np.minimum(lp.length / lp.free_flow_speed, max_tt)  # link.py:83
+        capacity = lp.free_flow_speed * lp.k_critical
+        shockwave = capacity / (lp.k_jam - lp.k_critical)  # link.py:61
+        fftau = np.round(tt0.astype(np.float32) / self.unit_time).astype(np.int32)
+        tau_shock = np.round(lp.length / (shockwave * self.unit_time)).astype(np.int32)
+
+        self.max_travel_time = jnp.asarray(max_tt.astype(np.float32))
+        self.travel_time0 = jnp.asarray(tt0.astype(np.float32))
+        self.free_flow_tau = jnp.asarray(fftau)
+        self.tau_shockwave = jnp.asarray(tau_shock)
+
+        # N-curve history horizon.  The dynamic lookback tau =
+        # round(avg_travel_time / unit_time) (link.py:260) is UNBOUNDED in
+        # the reference — travel_time = length/speed is only clamped when
+        # speed == 0 (link.py:177), so a nearly-jammed link can produce
+        # arbitrarily large tau.  Full-horizon buffers (H = T+1) reproduce
+        # the reference exactly; O(E*T) HBM is fine for T <= a few
+        # thousand.  (A windowed-ring mode can trade exactness for memory
+        # on very long horizons.)
+        T = self.simulation_steps
+        self.H = T + 1
+        self.avg_tt_window = int(round(100 / self.unit_time))  # link.py:89
+
+        self.engine_params = engine_params
+
+    # -- state factory ------------------------------------------------------
+
+    def init_state(self, key: Optional[jax.Array] = None) -> NetworkState:
+        f = self.ftype
+        f32 = jnp.float32
+        E, N, H, W = self.n_links, self.n_nodes, self.H, self.avg_tt_window
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        lp = self.topo.link_params
+        width = jnp.asarray(lp.width, dtype=f)
+        is_sep = self.is_separator
+
+        tt_ring = jnp.broadcast_to(self.travel_time0[:, None], (E, W)).astype(f32)
+
+        return NetworkState(
+            t=jnp.asarray(1, dtype=jnp.int32),
+            key=key,
+            cum_in_ring=jnp.zeros((E, H), dtype=f),
+            cum_out_ring=jnp.zeros((E, H), dtype=f),
+            inflow_ring=jnp.zeros((E, H), dtype=f),
+            tt_ring=tt_ring,
+            cum_in=jnp.zeros(E, dtype=f),
+            cum_out=jnp.zeros(E, dtype=f),
+            inflow=jnp.zeros(E, dtype=f),
+            outflow=jnp.zeros(E, dtype=f),
+            num_peds=jnp.zeros(E, dtype=f32),
+            density=jnp.zeros(E, dtype=f32),
+            speed=jnp.zeros(E, dtype=f32),
+            travel_time=self.travel_time0,
+            link_flow=jnp.zeros(E, dtype=f32),
+            avg_tt=self.travel_time0,
+            tt_run_sum=self.travel_time0,
+            sending_prev=-jnp.ones(E, dtype=f),  # -1 sentinel (link.py:16)
+            recv_prev=-jnp.ones(E, dtype=f),  # -1 sentinel (link.py:17)
+            back_gate=jnp.where(is_sep, width / 2, width),  # link.py:55-56,423-424
+            sep_width=jnp.where(is_sep, width / 2, width),
+            virt_dep=jnp.zeros(N, dtype=f),
+            virt_arr=jnp.zeros(N, dtype=f),
+            virt_dep_cum=jnp.zeros(N, dtype=f),
+            virt_arr_cum=jnp.zeros(N, dtype=f),
+        )
+
+
+def _build_phi_base(topo: TopologySpec, ftype) -> jnp.ndarray:
+    """Equal turning fractions 1/(dest_num-1) off-diagonal
+    (network.py:269-271)."""
+    N, M = topo.n_nodes, topo.max_deg
+    eye = np.eye(M, dtype=bool)
+    valid = topo.slot_valid[:, :, None] & topo.slot_valid[:, None, :] & ~eye[None]
+    m = topo.node_arity.astype(np.float64)
+    inv = 1.0 / np.maximum(m - 1.0, 1.0)
+    phi = np.where(valid, inv[:, None, None], 0.0)
+    return jnp.asarray(phi, dtype=ftype)
+
+
+def build_scenario(
+    adjacency_matrix: np.ndarray,
+    params: dict,
+    origin_nodes: List[int],
+    destination_nodes: Optional[List[int]] = None,
+    od_flows: Optional[dict] = None,
+    demand_pattern: Optional[List[Callable]] = None,
+    pos: Optional[dict] = None,
+    ftype=jnp.float32,
+    exact_parity: bool = False,
+) -> Scenario:
+    """Compile a scenario (reference Network.__init__, network.py:56-121).
+
+    demand_pattern: optional list of custom demand callables registered by
+    __name__ (network.py:88-93).
+    """
+    destination_nodes = destination_nodes or []
+    topo = build_topology(adjacency_matrix, params, origin_nodes, destination_nodes)
+
+    # demand curves, generated in node-creation order for RNG parity
+    T = int(params["simulation_steps"])
+    virtual_nodes = [n for n in topo.node_creation_order if topo.has_virtual[n]]
+    custom = {f.__name__: f for f in (demand_pattern or [])}
+    demands = build_demand_table(T, params, list(origin_nodes), virtual_nodes, custom)
+    demand_table = np.zeros((topo.n_nodes, T + 1), dtype=np.float64)
+    for node_id, arr in demands.items():
+        demand_table[node_id, : len(arr)] = arr[: T + 1]
+
+    od_manager = None
+    routing = None
+    builder = None
+    od_table = np.zeros((0, T + 1), dtype=np.float64)
+    if destination_nodes:
+        od_manager = ODManager(T)
+        od_manager.init_od_flows(list(origin_nodes), list(destination_nodes), od_flows)
+        od_pairs, od_table = od_manager.dense_table()
+
+        _, controller_nodes, _, controller_links = parse_controllers(params)
+        builder = PathSetBuilder(topo, params, controller_nodes, controller_links)
+        builder.find_od_paths(od_pairs)
+        routing = build_routing_tables(topo, builder, od_pairs)
+
+    lp = topo.link_params
+    ep = EngineParams(
+        length=jnp.asarray(lp.length, dtype=ftype),
+        width=jnp.asarray(lp.width, dtype=ftype),
+        free_flow_speed=jnp.asarray(lp.free_flow_speed, dtype=ftype),
+        k_critical=jnp.asarray(lp.k_critical, dtype=ftype),
+        k_jam=jnp.asarray(lp.k_jam, dtype=ftype),
+        gamma=jnp.asarray(lp.gamma, dtype=ftype),
+        bi_factor=jnp.asarray(lp.bi_factor, dtype=ftype),
+        activity_probability=jnp.asarray(lp.activity_probability, dtype=ftype),
+        speed_noise_std=jnp.asarray(lp.speed_noise_std, dtype=ftype),
+        demand=jnp.asarray(demand_table, dtype=ftype),
+        od_table=jnp.asarray(od_table, dtype=ftype),
+        phi_base=_build_phi_base(topo, ftype),
+    )
+
+    return Scenario(
+        topo=topo,
+        params=params,
+        origin_nodes=list(origin_nodes),
+        destination_nodes=list(destination_nodes),
+        engine_params=ep,
+        routing=routing,
+        path_builder=builder,
+        od_manager=od_manager,
+        pos=pos,
+        ftype=ftype,
+        exact_parity=exact_parity,
+    )

@@ -1,0 +1,101 @@
+"""NetworkState: the struct-of-arrays simulation state pytree.
+
+Replaces the per-object arrays of the reference BaseLink/Link
+(src/LTM/link.py:4-99) with fixed-shape ring buffers sized to the maximum
+lookback horizon H instead of the full horizon T+1, so HBM residency is
+O(E*H) regardless of simulation length.  Full trajectories are streamed
+out as ``lax.scan`` outputs when recording is requested.
+
+All flow quantities use the scenario's flow dtype (float32 on TPU,
+float64 in CPU parity-test mode); kinematic quantities (travel time,
+density, speed, pedestrian counts) are float32 to mirror the reference's
+array dtypes (link.py:82-97), which matters for bit-level parity of
+``round(avg_travel_time / unit_time)`` lookback indices.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EngineParams:
+    """Per-link / per-node parameters that may vary across vmapped env
+    replicas (domain randomization perturbs k_critical/k_jam/
+    free_flow_speed and demand/OD tables; see reference
+    src/utils/env_loader.py:363-424)."""
+
+    length: jnp.ndarray  # [E]
+    width: jnp.ndarray  # [E]
+    free_flow_speed: jnp.ndarray  # [E]
+    k_critical: jnp.ndarray  # [E]
+    k_jam: jnp.ndarray  # [E]
+    gamma: jnp.ndarray  # [E]
+    bi_factor: jnp.ndarray  # [E]
+    activity_probability: jnp.ndarray  # [E]
+    speed_noise_std: jnp.ndarray  # [E]
+    demand: jnp.ndarray  # [N, T+1]
+    od_table: jnp.ndarray  # [P, T+1]
+    phi_base: jnp.ndarray  # [N, M, M] static equal turning fractions
+
+
+@struct.dataclass
+class NetworkState:
+    """Carry of the per-step scan."""
+
+    t: jnp.ndarray  # scalar int32, next time step to execute (starts at 1)
+    key: jax.Array  # PRNG key (stochastic mode)
+
+    # ring buffers [E, H] (time index i lives at slot i % H)
+    cum_in_ring: jnp.ndarray
+    cum_out_ring: jnp.ndarray
+    inflow_ring: jnp.ndarray
+    tt_ring: jnp.ndarray  # [E, W] float32
+
+    # current scalars [E]
+    cum_in: jnp.ndarray
+    cum_out: jnp.ndarray
+    inflow: jnp.ndarray
+    outflow: jnp.ndarray
+    num_peds: jnp.ndarray  # float32
+    density: jnp.ndarray  # float32
+    speed: jnp.ndarray  # float32
+    travel_time: jnp.ndarray  # float32
+    link_flow: jnp.ndarray  # float32
+    avg_tt: jnp.ndarray  # float32
+    tt_run_sum: jnp.ndarray  # float32
+    sending_prev: jnp.ndarray  # sending_flow[t-1] after step t (init -1 sentinel, link.py:16)
+    recv_prev: jnp.ndarray  # receiving_flow[t-1] after step t (init -1 sentinel, link.py:17)
+
+    # control surface
+    back_gate: jnp.ndarray  # [E]; front gate of e == back_gate[reverse_idx[e]] (link.py:110-126)
+    sep_width: jnp.ndarray  # [E]; separators only (link.py:462-478)
+
+    # virtual link flows per node (origin departures / destination arrivals)
+    virt_dep: jnp.ndarray  # [N]
+    virt_arr: jnp.ndarray  # [N]
+    virt_dep_cum: jnp.ndarray  # [N]
+    virt_arr_cum: jnp.ndarray  # [N]
+
+
+@struct.dataclass
+class StepOutputs:
+    """Per-step recorded trajectory slice (scan ys)."""
+
+    inflow: jnp.ndarray
+    outflow: jnp.ndarray
+    cum_in: jnp.ndarray
+    cum_out: jnp.ndarray
+    num_peds: jnp.ndarray
+    density: jnp.ndarray
+    speed: jnp.ndarray
+    travel_time: jnp.ndarray
+    link_flow: jnp.ndarray
+    sending: jnp.ndarray
+    receiving: jnp.ndarray
+    back_gate: jnp.ndarray
+    sep_width: jnp.ndarray
+    virt_dep: jnp.ndarray
+    virt_arr: jnp.ndarray

@@ -1,0 +1,89 @@
+"""Golden-trajectory parity: the JAX engine must reproduce the reference
+implementation's trajectories (deterministic mode: binomial -> expectation)
+on bundled scenarios.
+
+Fixtures under tests/golden/*.npz are produced by scripts/gen_golden.py,
+which RUNS the reference at /root/reference with np.random.binomial
+patched to floor(n)*p.  The target in BASELINE.json is densities matching
+to 1e-5; the engine's dtype staging actually achieves bit-exactness on
+these scenarios.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+FIELDS = {
+    # field -> (mine attr, ref column offset relative to step t)
+    "inflow": ("inflow", 0),
+    "outflow": ("outflow", 0),
+    "num_pedestrians": ("num_peds", 0),
+    "density": ("density", 0),
+    "speed": ("speed", 0),
+    "travel_time": ("travel_time", 0),
+    "cumulative_inflow": ("cum_in", 0),
+    "cumulative_outflow": ("cum_out", 0),
+    # sending/receiving are stored at index t-1 during step t
+    # (node.py:178,206)
+    "sending_flow": ("sending", -1),
+    "receiving_flow": ("receiving", -1),
+}
+
+
+def _available():
+    if not os.path.isdir(GOLDEN_DIR):
+        return []
+    return sorted(
+        f[:-4] for f in os.listdir(GOLDEN_DIR) if f.endswith(".npz")
+    )
+
+
+@pytest.mark.parametrize("name", _available() or ["long_corridor"])
+def test_golden_parity(name, x64):
+    import jax.numpy as jnp
+    from pednstream_tpu import build_scenario
+    from pednstream_tpu.engine import simulate
+
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {name} missing; run scripts/gen_golden.py")
+    g = np.load(path, allow_pickle=True)
+    meta = json.loads(str(g["meta"]))
+    adj = np.array(meta["adj"])
+    params = meta["params"]
+    od_flows = {
+        tuple(map(int, k.split("_"))): v for k, v in meta.get("od_flows", {}).items()
+    } or None
+
+    np.random.seed(params.get("seed", 42))
+    scn = build_scenario(
+        adj,
+        params,
+        origin_nodes=meta["origins"],
+        destination_nodes=meta.get("dests") or [],
+        od_flows=od_flows,
+        ftype=jnp.float64,
+        exact_parity=True,
+    )
+    link_keys = [f"{u}_{v}" for (u, v) in scn.topo.link_nodes.tolist()]
+    order = [link_keys.index(k) for k in list(g["link_keys"])]
+
+    state = scn.init_state(jax.random.PRNGKey(0))
+    T = params["simulation_steps"]
+    _, outs = simulate(scn, scn.engine_params, state, T - 1, stochastic=False, record=True)
+
+    tol = 1e-5  # BASELINE.json parity target (achieved: bit-exact)
+    for field, (attr, off) in FIELDS.items():
+        mine = np.asarray(getattr(outs, attr))[:, order]  # [T-1, E], row i = step i+1
+        if off == 0:
+            ref = g[field][:, 1:T].T
+        else:
+            ref = g[field][:, 0 : T - 1].T
+        err = np.abs(mine - ref).max()
+        assert err <= tol, f"{name}.{field}: max abs err {err}"
