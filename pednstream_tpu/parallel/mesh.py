@@ -1,0 +1,62 @@
+"""Multi-chip scaling: device meshes and sharded batched environments.
+
+The reference's only parallelism is process-level Ray rollout workers
+(rl/train_ppo_rllib.py:62-64).  The TPU-native design instead runs
+thousands of env replicas as ONE SPMD program: replicas vmap on-device
+and shard across chips over ICI via ``jax.sharding`` — XLA inserts the
+collectives.  Training gradients reduce with ``psum`` inside
+``shard_map`` (see pednstream_tpu.rl.train for the full step).
+
+Axes:
+  ``env``  — environment replicas (data parallelism for rollouts and
+             per-agent updates; the natural axis here since the policy
+             nets are tiny and the simulation state dominates)
+"""
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "env"):
+    """Place a batched pytree with its leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def data_parallel_env_step(core, mesh: Mesh, axis: str = "env"):
+    """Compile a mesh-sharded batched env step.
+
+    Returns step(states, actions) where every leaf's leading (batch) axis
+    is sharded across ``mesh``; each chip steps its local shard of
+    replicas, no cross-chip communication needed for pure rollouts.
+    """
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    @partial(
+        jax.jit,
+        in_shardings=(batch_sh, batch_sh),
+        out_shardings=(batch_sh, batch_sh, batch_sh, batch_sh),
+    )
+    def step(states, actions):
+        st, obs, rew, done, _ = jax.vmap(core._step_impl)(states, actions)
+        return st, obs, rew, done
+
+    return step

@@ -1,0 +1,285 @@
+"""Training drivers.
+
+``train_on_policy_multi_agent`` mirrors the reference's independent-
+learner episode loop (rl/agents/PPO_backup.py:762-956, rl/train_rl.py:
+35-106): per-episode rollouts over a dict of agents with delta->absolute
+action conversion, per-episode PPO updates, and validation-gated best
+checkpointing.  ``train_off_policy_multi_agent`` is the SAC loop
+(rl/agents/SAC_copy.py:157-310).
+
+``make_dp_train_step`` is the TPU-native batched trainer step: env
+replicas shard across the mesh's ``env`` axis, each device rolls its
+local replicas and gradients reduce with ``pmean`` inside shard_map —
+the SPMD replacement for the reference's Ray rollout workers
+(train_ppo_rllib.py:62-64).
+"""
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .networks import MLPPolicy
+from .ppo import PPOAgent, _gaussian_logprob
+from .rl_utils import validate_and_save_best
+from .rule_based import NoControlAgent, RuleBasedGaterAgent, RuleBasedSeparatorAgent
+from .sac import SACAgent
+
+
+# -- agent construction (train_rl.py:70-95) -----------------------------------
+
+def build_agents(env, algo: str = "ppo", net_type: str = "attention",
+                 seed: int = 0, **kwargs) -> Dict[str, object]:
+    from ..env.agents import FEATURES_PER_LINK
+
+    fpl = FEATURES_PER_LINK[env.obs_mode]
+    agents: Dict[str, object] = {}
+    spec = env.spec_agents
+    for i, agent_id in enumerate(spec.agent_ids):
+        space = env.action_space(agent_id)
+        obs_space = env.observation_space(agent_id)
+        act_dim = int(np.prod(space.shape))
+        obs_dim = int(np.prod(obs_space.shape))
+        if algo == "ppo":
+            agents[agent_id] = PPOAgent(
+                obs_dim=obs_dim, act_dim=act_dim,
+                features_per_link=fpl if agent_id.startswith("gate") else None,
+                net_type=net_type if agent_id.startswith("gate") else "lstm",
+                action_low=space.low, action_high=space.high,
+                seed=seed + i, **kwargs,
+            )
+        elif algo == "sac":
+            agents[agent_id] = SACAgent(
+                obs_dim=obs_dim, act_dim=act_dim,
+                action_low=space.low, action_high=space.high,
+                seed=seed + i, **kwargs,
+            )
+        elif algo == "rule_based":
+            if agent_id.startswith("gate"):
+                agents[agent_id] = RuleBasedGaterAgent(
+                    act_dim=act_dim, max_widths=space.high, features_per_link=fpl
+                )
+            else:
+                total = float(spec.sep_total_width[spec.sep_ids.index(agent_id)])
+                agents[agent_id] = RuleBasedSeparatorAgent(total_width=total)
+        elif algo == "no_control":
+            agents[agent_id] = NoControlAgent(space.high if agent_id.startswith("gate")
+                                              else (space.low + space.high) / 2)
+        else:
+            raise ValueError(f"unknown algo {algo}")
+    return agents
+
+
+# -- on-policy loop (PPO_backup.py:762-956) ------------------------------------
+
+def train_on_policy_multi_agent(
+    env,
+    agents: Dict[str, PPOAgent],
+    num_episodes: int = 100,
+    randomize: bool = False,
+    val_freq: int = 10,
+    save_dir: Optional[str] = None,
+    log_fn: Optional[Callable[[int, dict], None]] = None,
+):
+    history = []
+    best_reward = -np.inf
+    for episode in range(num_episodes):
+        obs, _ = env.reset(options={"randomize": randomize})
+        for a in agents.values():
+            if hasattr(a, "reset_hidden"):
+                a.reset_hidden()
+        done = False
+        ep_reward = 0.0
+        while not done:
+            deltas = {aid: agents[aid].take_action(obs[aid]) for aid in agents}
+            actions = {
+                aid: agents[aid].absolute_action(obs[aid], deltas[aid])
+                for aid in agents
+            }  # delta -> absolute (PPO_backup.py:848-851)
+            next_obs, rewards, terms, truncs, infos = env.step(actions)
+            done = any(terms.values()) or any(truncs.values())
+            for aid in agents:
+                if hasattr(agents[aid], "store_transition"):
+                    agents[aid].store_transition(
+                        obs[aid], deltas[aid], rewards.get(aid, 0.0), done
+                    )
+                ep_reward += infos.get(aid, {}).get(
+                    "true_reward", rewards.get(aid, 0.0)
+                )
+            obs = next_obs
+        metrics = {}
+        for aid in agents:
+            if hasattr(agents[aid], "update"):
+                metrics[aid] = agents[aid].update()
+        history.append({"episode": episode, "reward": ep_reward, **{
+            f"{aid}_loss": m.get("actor_loss") for aid, m in metrics.items() if m
+        }})
+        if log_fn:
+            log_fn(episode, history[-1])
+        # validation-gated checkpointing after half of training
+        # (PPO_backup.py:928-939)
+        if save_dir and episode >= num_episodes // 2 and (episode + 1) % val_freq == 0:
+            best_reward = validate_and_save_best(env, agents, best_reward, save_dir)
+    return history
+
+
+# -- off-policy loop (SAC_copy.py:157-310) --------------------------------------
+
+def train_off_policy_multi_agent(
+    env,
+    agents: Dict[str, SACAgent],
+    num_episodes: int = 100,
+    randomize: bool = False,
+    updates_per_step: int = 1,
+    warmup_steps: int = 200,
+    val_freq: int = 10,
+    save_dir: Optional[str] = None,
+    log_fn: Optional[Callable[[int, dict], None]] = None,
+):
+    history = []
+    best_reward = -np.inf
+    total_steps = 0
+    for episode in range(num_episodes):
+        obs, _ = env.reset(options={"randomize": randomize})
+        for a in agents.values():
+            a.reset_hidden()
+        stacks = {aid: agents[aid]._stack(obs[aid]) for aid in agents}
+        done = False
+        ep_reward = 0.0
+        while not done:
+            deltas = {}
+            for aid in agents:
+                if total_steps < warmup_steps:
+                    act_dim = agents[aid].act_dim
+                    deltas[aid] = np.random.uniform(
+                        -agents[aid].max_delta, agents[aid].max_delta, act_dim
+                    ).astype(np.float32)
+                    agents[aid]._stack(obs[aid])
+                else:
+                    deltas[aid] = agents[aid].take_action(obs[aid])
+            actions = {
+                aid: agents[aid].absolute_action(obs[aid], deltas[aid])
+                for aid in agents
+            }
+            next_obs, rewards, terms, truncs, infos = env.step(actions)
+            done = any(terms.values()) or any(truncs.values())
+            for aid in agents:
+                next_stack = agents[aid].last_stack
+                agents[aid].store_transition(
+                    stacks[aid], deltas[aid] / max(agents[aid].max_delta, 1e-6),
+                    rewards.get(aid, 0.0), next_stack, done,
+                )
+                stacks[aid] = next_stack
+                ep_reward += infos.get(aid, {}).get(
+                    "true_reward", rewards.get(aid, 0.0)
+                )
+            obs = next_obs
+            total_steps += 1
+            if total_steps >= warmup_steps:
+                for aid in agents:
+                    for _ in range(updates_per_step):
+                        agents[aid].update()
+        history.append({"episode": episode, "reward": ep_reward})
+        if log_fn:
+            log_fn(episode, history[-1])
+        if save_dir and episode >= num_episodes // 2 and (episode + 1) % val_freq == 0:
+            best_reward = validate_and_save_best(env, agents, best_reward, save_dir)
+    return history
+
+
+# -- TPU-native data-parallel batched trainer ------------------------------------
+
+def init_train_state(core, key):
+    """Policy + optimizer state for the batched data-parallel trainer."""
+    spec = core.spec
+    agent_id = spec.gate_ids[0] if spec.gate_ids else "sep"
+    if spec.gate_ids:
+        from ..env.agents import FEATURES_PER_LINK
+
+        obs_dim = len(spec.gate_links[0]) * FEATURES_PER_LINK[core.obs_mode]
+        act_dim = len(spec.gate_links[0])
+    else:
+        obs_dim, act_dim = 4, 1
+    policy = MLPPolicy(act_dim)
+    params = policy.init(key, jnp.zeros(obs_dim))
+    tx = optax.adam(3e-4)
+    return {
+        "agent_id": agent_id,
+        "policy": policy,
+        "params": params,
+        "tx": tx,
+        "opt_state": tx.init(params),
+        "act_dim": act_dim,
+    }
+
+
+def make_dp_train_step(core, mesh, axis: str = "env"):
+    """One sharded rollout+update step: local replicas step on each
+    device, gradients pmean over the mesh."""
+    spec = core.spec
+    batch_sh = NamedSharding(mesh, P(axis))
+    repl_sh = NamedSharding(mesh, P())
+    policy_holder = {}
+
+    def _default_actions(B):
+        actions = {}
+        if spec.sep_ids:
+            mid = (np.asarray(spec.sep_total_width) / 2).astype(np.float32)
+            actions["sep"] = jnp.tile(mid[None], (B, 1))
+        for i, gid in enumerate(spec.gate_ids):
+            w = np.asarray(spec.gate_link_widths[i], np.float32)
+            actions[gid] = jnp.tile(w[None], (B, 1))
+        return actions
+
+    def train_step(states, obs, params, opt_state):
+        policy = policy_holder["policy"]
+        tx = policy_holder["tx"]
+        agent_id = policy_holder["agent_id"]
+        agent_obs = obs[agent_id] if agent_id in obs else obs["sep"][:, 0]
+        B = agent_obs.shape[0]
+
+        def loss_fn(p):
+            mu, log_std, _ = jax.vmap(lambda o: policy.apply(p, o))(agent_obs)
+            noise = jax.vmap(
+                lambda st: jax.random.normal(jax.random.fold_in(st, 0), (mu.shape[1],))
+            )(states.key)
+            act = mu + jnp.exp(log_std) * noise
+            actions = _default_actions(B)
+            if agent_id in actions:
+                actions[agent_id] = act
+            new_states, new_obs, rewards, done, _ = jax.vmap(core._step_impl)(
+                states, actions
+            )
+            r = rewards.get(agent_id, jnp.zeros(B))
+            logp = jax.vmap(_gaussian_logprob)(mu, log_std, act)  # log_std batched by vmap
+            adv = r - r.mean()
+            loss = -(logp * adv).mean()
+            return loss, (new_states, new_obs)
+
+        (loss, (new_states, new_obs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return new_states, new_obs, params, opt_state, {"loss": loss}
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(batch_sh, batch_sh, repl_sh, repl_sh),
+        out_shardings=(batch_sh, batch_sh, repl_sh, repl_sh, repl_sh),
+    )
+
+    def step(states, obs, train_state):
+        policy_holder.update(train_state)
+        new_states, new_obs, params, opt_state, metrics = jitted(
+            states, obs, train_state["params"], train_state["opt_state"]
+        )
+        train_state = dict(train_state, params=params, opt_state=opt_state)
+        return new_states, new_obs, train_state, metrics
+
+    return step

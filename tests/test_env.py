@@ -1,0 +1,98 @@
+"""RL environment tests: PettingZoo API conformance (mirrors
+rl/test_pz_api.py), reset determinism as a hard assertion (the
+reference's t-SNE-based test rl/test_reset_determinism.py made this a
+plot; here it is an exact check), action clipping, and the vmapped
+batched env."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _make_env(**kw):
+    from pednstream_tpu.env import PedNetParallelEnv
+
+    kw.setdefault("dataset", "butterfly_scC")
+    kw.setdefault("seed", 42)
+    return PedNetParallelEnv(**kw)
+
+
+def test_pettingzoo_parallel_api():
+    from pettingzoo.test import parallel_api_test
+
+    env = _make_env(obs_mode="option2")
+    parallel_api_test(env, num_cycles=30)
+
+
+def test_reset_determinism():
+    env = _make_env(obs_mode="option2", stochastic=True)
+    trajs = []
+    for _ in range(2):
+        env.seed(123)
+        obs, _ = env.reset()
+        rows = [np.concatenate([o.ravel() for o in obs.values()])]
+        for i in range(10):
+            actions = {
+                a: (env.action_space(a).low + env.action_space(a).high) / 2
+                for a in env.possible_agents
+            }
+            obs, rewards, *_ = env.step(actions)
+            rows.append(np.concatenate([o.ravel() for o in obs.values()]))
+        trajs.append(np.stack(rows))
+    np.testing.assert_array_equal(trajs[0], trajs[1])
+
+
+def test_action_rate_clipping():
+    """Gate width cannot move faster than 0.25*unit_time m/step
+    (pz_pednet_env.py:84-85, builders.py:297-311)."""
+    env = _make_env(obs_mode="option2", stochastic=False)
+    env.reset()
+    agent = "gate_2"
+    links = env.spec_agents.gate_links[0]
+    before = np.asarray(env._state.back_gate)[links]
+    target = np.zeros(len(links), dtype=np.float32)  # slam gates shut
+    env.step({agent: target})
+    after = np.asarray(env._state.back_gate)[links]
+    max_delta = 0.25 * env.scn.unit_time
+    assert np.all(before - after <= max_delta + 1e-6)
+    assert np.all(after >= 0)
+
+
+def test_separator_coupling():
+    """Separator width reallocates the reverse direction to keep total
+    corridor width constant (link.py:462-478)."""
+    from pednstream_tpu.env import PedNetParallelEnv
+
+    env = PedNetParallelEnv("long_corridor", seed=1, stochastic=False)
+    assert "sep_2_3" in env.possible_agents
+    env.reset()
+    fwd = env.scn.topo.link_id_to_idx[(2, 3)]
+    rev = env.scn.topo.link_id_to_idx[(3, 2)]
+    total = float(env.scn.topo.link_params.width[fwd])
+    env.step({"sep_2_3": np.array([total - 1.5], dtype=np.float32)})
+    sw = np.asarray(env._state.sep_width)
+    assert abs(sw[fwd] + sw[rev] - total) < 1e-6
+    bg = np.asarray(env._state.back_gate)
+    assert abs(bg[fwd] - sw[fwd]) < 1e-6 and abs(bg[rev] - sw[rev]) < 1e-6
+
+
+def test_batched_env_vmap():
+    """Many env replicas step in lockstep through one XLA program."""
+    env = _make_env(obs_mode="option1", stochastic=True)
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states, obs = env.core.batch_reset(keys)
+    assert np.asarray(obs["gate_2"]).shape[0] == B
+    actions = {"gate_2": np.tile(
+        env.spec_agents.gate_link_widths[0][None, :].astype(np.float32), (B, 1))}
+    states, obs, rewards, done = env.core.batch_step(states, actions)
+    assert np.asarray(states.t).shape == (B,)
+    assert np.all(np.asarray(states.t) == 2)
+    assert np.asarray(rewards["gate_2"]).shape == (B,)
+    # different PRNG keys -> stochastic trajectories diverge across batch
+    # (needs enough steps for flows to start moving through release draws)
+    for _ in range(30):
+        states, obs, rewards, done = env.core.batch_step(states, actions)
+    dens = np.asarray(states.density)
+    assert not np.allclose(dens[0], dens[1])
