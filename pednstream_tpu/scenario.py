@@ -43,8 +43,10 @@ class Scenario:
         pos: Optional[dict] = None,
         ftype=jnp.float32,
         exact_parity: bool = False,
+        history_window: Optional[int] = None,
     ):
         self.exact_parity = exact_parity
+        self.history_window = history_window
         self.topo = topo
         self.params = params
         self.origin_nodes = list(origin_nodes)
@@ -99,10 +101,17 @@ class Scenario:
         # speed == 0 (link.py:177), so a nearly-jammed link can produce
         # arbitrarily large tau.  Full-horizon buffers (H = T+1) reproduce
         # the reference exactly; O(E*T) HBM is fine for T <= a few
-        # thousand.  (A windowed-ring mode can trade exactness for memory
-        # on very long horizons.)
+        # thousand.  ``history_window`` selects a windowed-ring mode that
+        # clamps tau to the window (a modeling choice: bounded congestion
+        # memory) and cuts both HBM and gather bandwidth — the fast mode
+        # for batched RL training.
         T = self.simulation_steps
-        self.H = T + 1
+        if history_window is not None:
+            if history_window < 16:
+                raise ValueError("history_window must be >= 16")
+            self.H = int(min(history_window, T + 1))
+        else:
+            self.H = T + 1
         self.avg_tt_window = int(round(100 / self.unit_time))  # link.py:89
 
         self.engine_params = engine_params
@@ -173,6 +182,7 @@ def build_scenario(
     pos: Optional[dict] = None,
     ftype=jnp.float32,
     exact_parity: bool = False,
+    history_window: Optional[int] = None,
 ) -> Scenario:
     """Compile a scenario (reference Network.__init__, network.py:56-121).
 
@@ -233,4 +243,5 @@ def build_scenario(
         pos=pos,
         ftype=ftype,
         exact_parity=exact_parity,
+        history_window=history_window,
     )
