@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .routing import turning_fractions_step
 from .state import EngineParams, NetworkState, StepOutputs
@@ -264,14 +265,32 @@ def _node_solve(scn, ep: EngineParams, st: NetworkState, t, S, R, phi):
     r_pad = jnp.where(virt_slot, scn.big_m, r_pad)  # node.py:187 (M = 1e6)
     r_pad = jnp.where(scn.slot_valid, r_pad, 0.0)
 
-    # --- classic RegularNode solve (node.py:272-300) ---
-    dem_mat = phi * s_pad[:, :, None]  # phi_ij * s_i
-    col_sums = dem_mat.sum(axis=1, keepdims=True)  # [N, 1, M]
-    share = dem_mat / jnp.where(col_sums != 0, col_sums, 1e-5)
-    supply = r_pad[:, None, :] * share
-    g = jnp.floor(jnp.minimum(dem_mat, supply))
-    q_in_reg = jnp.maximum(0.0, g.sum(axis=2))  # outflow of incoming slot i
-    q_out_reg = jnp.maximum(0.0, g.sum(axis=1))  # inflow to outgoing slot j
+    if scn.assign_flows_type == "optimal":
+        # LP allocation via host callback (node.py:248-271); off the hot
+        # path — no shipped scenario uses it
+        shape = (
+            jax.ShapeDtypeStruct((N, M), f),
+            jax.ShapeDtypeStruct((N, M), f),
+        )
+
+        def _host_lp(s, r, p):
+            qi, qo = scn.optimal_solver(np.asarray(s), np.asarray(r), np.asarray(p))
+            import numpy as _np
+
+            return qi.astype(_np.dtype(f)), qo.astype(_np.dtype(f))
+
+        q_in_reg, q_out_reg = jax.pure_callback(
+            _host_lp, shape, s_pad, r_pad, phi, vmap_method="sequential"
+        )
+    else:
+        # --- classic RegularNode solve (node.py:272-300) ---
+        dem_mat = phi * s_pad[:, :, None]  # phi_ij * s_i
+        col_sums = dem_mat.sum(axis=1, keepdims=True)  # [N, 1, M]
+        share = dem_mat / jnp.where(col_sums != 0, col_sums, 1e-5)
+        supply = r_pad[:, None, :] * share
+        g = jnp.floor(jnp.minimum(dem_mat, supply))
+        q_in_reg = jnp.maximum(0.0, g.sum(axis=2))  # outflow of incoming slot i
+        q_out_reg = jnp.maximum(0.0, g.sum(axis=1))  # inflow to outgoing slot j
 
     # --- OneToOne crossing solve (node.py:230-242): slot k <-> slot 1-k ---
     s2 = s_pad[:, :2]

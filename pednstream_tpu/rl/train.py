@@ -283,3 +283,85 @@ def make_dp_train_step(core, mesh, axis: str = "env"):
         return new_states, new_obs, train_state, metrics
 
     return step
+
+
+# -- CLI (reference rl/train_rl.py:35-247) ---------------------------------------
+
+def make_logger(log_path: Optional[str] = None, use_wandb: bool = False,
+                project: str = "crowd-control-rl"):
+    """Episode metric logger: JSONL file, console, optional wandb
+    (PPO_backup.py:783-786,913-926)."""
+    run = None
+    if use_wandb:
+        try:
+            import wandb
+
+            run = wandb.init(project=project)
+        except ImportError:
+            print("wandb not installed; falling back to JSONL logging")
+    fh = open(log_path, "a") if log_path else None
+
+    def log_fn(episode: int, metrics: dict):
+        print(f"episode {episode}: " + ", ".join(
+            f"{k}={v:.3f}" for k, v in metrics.items()
+            if isinstance(v, (int, float)) and v is not None
+        ))
+        if fh:
+            import json
+
+            fh.write(json.dumps(metrics, default=float) + "\n")
+            fh.flush()
+        if run:
+            run.log(metrics, step=episode)
+
+    return log_fn
+
+
+def main():
+    import argparse
+
+    from ..env import PedNetParallelEnv
+    from .rl_utils import RunningNormalizeWrapper
+
+    parser = argparse.ArgumentParser(
+        description="Train multi-agent crowd-control policies"
+    )
+    parser.add_argument("--dataset", default="butterfly_scC")
+    parser.add_argument("--algo", default="ppo", choices=["ppo", "sac"])
+    parser.add_argument("--net", default="attention",
+                        choices=["attention", "lstm", "stacked", "mlp"])
+    parser.add_argument("--episodes", type=int, default=100)
+    parser.add_argument("--obs-mode", default="option2")
+    parser.add_argument("--action-gap", type=int, default=15)
+    parser.add_argument("--randomize", action="store_true")
+    parser.add_argument("--normalize", action="store_true", default=True)
+    parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--log-file", default=None)
+    args = parser.parse_args()
+
+    env = PedNetParallelEnv(args.dataset, obs_mode=args.obs_mode,
+                            seed=args.seed, action_gap=args.action_gap)
+    wrapped = RunningNormalizeWrapper(env) if args.normalize else env
+    save_dir = args.save_dir or f"outputs/{args.algo}_agents_{args.dataset}"
+    log_fn = make_logger(args.log_file, use_wandb=args.wandb)
+
+    if args.algo == "ppo":
+        agents = build_agents(env, algo="ppo", net_type=args.net, seed=args.seed)
+        train_on_policy_multi_agent(wrapped, agents, num_episodes=args.episodes,
+                                    randomize=args.randomize,
+                                    save_dir=save_dir, log_fn=log_fn)
+    else:
+        agents = build_agents(env, algo="sac", seed=args.seed)
+        train_off_policy_multi_agent(wrapped, agents, num_episodes=args.episodes,
+                                     randomize=args.randomize,
+                                     save_dir=save_dir, log_fn=log_fn)
+    from .rl_utils import save_all_agents
+
+    save_all_agents(agents, save_dir, env=wrapped)
+    print(f"saved agents to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

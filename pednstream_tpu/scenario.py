@@ -116,6 +116,12 @@ class Scenario:
 
         self.engine_params = engine_params
 
+        self.optimal_solver = None
+        if self.assign_flows_type == "optimal":
+            from .lp_solver import OptimalNodeSolver
+
+            self.optimal_solver = OptimalNodeSolver(topo)
+
     # -- state factory ------------------------------------------------------
 
     def init_state(self, key: Optional[jax.Array] = None) -> NetworkState:

@@ -167,10 +167,36 @@ def scenario_butterfly(steps=300):
     return adj, params, [0, 1], [6], None
 
 
+def scenario_optimal_diamond(steps=200):
+    # diamond network exercising the 'optimal' LP node solve
+    adj = np.array([
+        [0, 1, 1, 0],
+        [1, 0, 0, 1],
+        [1, 0, 0, 1],
+        [0, 1, 1, 0],
+    ])
+    params = {
+        "unit_time": 10,
+        "simulation_steps": steps,
+        "seed": 5,
+        "assign_flows_type": "optimal",
+        "path_finder": {"k_paths": 2, "temp": 5, "alpha": 1, "beta": 0.5, "omega": 0.8},
+        "default_link": {
+            "length": 80, "width": 3, "free_flow_speed": 1.1,
+            "k_critical": 2, "k_jam": 6, "fd_type": "yperman", "bi_factor": 1,
+        },
+        "demand": {
+            "origin_0": {"pattern": "gaussian_peaks", "peak_lambda": 20, "base_lambda": 8},
+        },
+    }
+    return adj, params, [0], [3], None
+
+
 SCENARIOS = {
     "long_corridor": scenario_long_corridor,
     "nine_node": scenario_nine_node,
     "butterfly": scenario_butterfly,
+    "optimal_diamond": scenario_optimal_diamond,
 }
 
 

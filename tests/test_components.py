@@ -1,0 +1,170 @@
+"""Unit tests for FD functions, flow conservation, IO round-trip, offline
+metrics, engine checkpointing, and the MCP tool surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny_scenario(T=60, **over):
+    from pednstream_tpu import build_scenario
+
+    adj = np.zeros((4, 4), dtype=int)
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        adj[a, b] = adj[b, a] = 1
+    params = {
+        "unit_time": 10, "simulation_steps": T, "seed": 1,
+        "default_link": {"length": 100, "width": 2, "free_flow_speed": 1.1,
+                         "k_critical": 2, "k_jam": 6},
+        "demand": {"origin_0": {"peak_lambda": 15, "base_lambda": 5}},
+    }
+    params.update(over)
+    return build_scenario(adj, params, origin_nodes=[0], destination_nodes=[3])
+
+
+def test_fd_functions():
+    from pednstream_tpu.fd import speed_from_density
+    from pednstream_tpu.topology import FD_TYPES
+
+    k = jnp.float32(np.array([0.5, 2.0, 4.0, 6.0]))
+    vf = jnp.full(4, 1.1)
+    kc = jnp.full(4, 2.0)
+    kj = jnp.full(4, 6.0)
+
+    # yperman: v = v_f below k_c; (k_c*v_f)/(k_j-k_c) * (k_j/k - 1) above
+    v = speed_from_density(k, vf, kc, kj, jnp.full(4, FD_TYPES["yperman"]))
+    np.testing.assert_allclose(v[:2], [1.1, 1.1], rtol=1e-6)
+    expected = (2 * 1.1) / 4 * (6 / 4 - 1)
+    np.testing.assert_allclose(v[2], expected, rtol=1e-5)
+    assert v[3] == 0.0  # jam density -> zero speed
+
+    # greenshields above k_c: -v_f (k - k_j)/(k_j - k_c)
+    v = speed_from_density(k, vf, kc, kj, jnp.full(4, FD_TYPES["greenshields"]))
+    np.testing.assert_allclose(v[2], -1.1 * (4 - 6) / 4, rtol=1e-5)
+
+    # smulders below k_c: v_f (1 - k/k_j)
+    v = speed_from_density(k, vf, kc, kj, jnp.full(4, FD_TYPES["smulders"]))
+    np.testing.assert_allclose(v[0], 1.1 * (1 - 0.5 / 6), rtol=1e-5)
+
+
+def test_mass_conservation():
+    """cum_in - cum_out == num_pedestrians on every link, and network
+    totals balance origin departures vs destination arrivals."""
+    from pednstream_tpu.engine import simulate
+
+    scn = _tiny_scenario()
+    final, _ = simulate(scn, scn.engine_params, scn.init_state(jax.random.PRNGKey(0)),
+                        scn.simulation_steps - 1, stochastic=True, record=False)
+    ci, co = np.asarray(final.cum_in), np.asarray(final.cum_out)
+    peds = np.asarray(final.num_peds)
+    np.testing.assert_allclose(ci - co, peds, atol=1e-4)
+    # global balance: departures = in-network + arrivals
+    dep = float(np.asarray(final.virt_dep_cum).sum())
+    arr = float(np.asarray(final.virt_arr_cum).sum())
+    assert abs(dep - (peds.sum() + arr)) < 1e-3
+
+
+def test_output_roundtrip_and_metrics(tmp_path):
+    from pednstream_tpu.engine import simulate
+    from pednstream_tpu.io import OutputHandler
+    from pednstream_tpu.rl.metrics import evaluate_run
+
+    scn = _tiny_scenario()
+    # run through t = T (as the RL env does) so the final cumulative
+    # column — which the offline metrics read — is populated
+    final, traj = simulate(scn, scn.engine_params, scn.init_state(jax.random.PRNGKey(0)),
+                           scn.simulation_steps, stochastic=False, record=True)
+    handler = OutputHandler(base_dir=str(tmp_path), simulation_dir="run")
+    handler.save_scenario_state(scn, traj, save_time_series=True)
+
+    data = OutputHandler.load_simulation(str(tmp_path / "run"))
+    assert set(data) >= {"link_data", "node_data", "network_params"}
+    T = scn.simulation_steps
+    dens = data["link_data"]["0-1"]["density"]
+    assert len(dens) == T + 1
+    np.testing.assert_allclose(
+        dens[1 : T + 1], np.asarray(traj.density)[:, scn.topo.link_id_to_idx[(0, 1)]]
+    )
+
+    m = evaluate_run(str(tmp_path / "run"))
+    assert 0 <= m["throughput"]["throughput"] <= 1.2
+    assert m["travel_time"]["avg_travel_time"] > 0
+    assert m["served_trips"]["total_inflow"] > 0
+    assert m["congestion"]["total_area_time"] > 0
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    from pednstream_tpu.engine import simulate
+    from pednstream_tpu.utils import load_engine_state, save_engine_state
+
+    scn = _tiny_scenario()
+    st = scn.init_state(jax.random.PRNGKey(0))
+    st, _ = simulate(scn, scn.engine_params, st, 20, stochastic=True, record=False)
+    path = str(tmp_path / "snap.npz")
+    save_engine_state(st, path)
+    restored = load_engine_state(path, scn.init_state(jax.random.PRNGKey(0)))
+    # continuing from the snapshot reproduces the original trajectory
+    a, _ = simulate(scn, scn.engine_params, st, 20, stochastic=True, record=False)
+    b, _ = simulate(scn, scn.engine_params, restored, 20, stochastic=True, record=False)
+    np.testing.assert_array_equal(np.asarray(a.density), np.asarray(b.density))
+
+
+def test_windowed_mode_runs():
+    from pednstream_tpu.engine import simulate
+
+    scn = _tiny_scenario()
+    from pednstream_tpu import build_scenario
+
+    adj = np.zeros((4, 4), dtype=int)
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        adj[a, b] = adj[b, a] = 1
+    scn_w = build_scenario(adj, scn.params, [0], [3], history_window=16)
+    assert scn_w.H == 16
+    final, _ = simulate(scn_w, scn_w.engine_params,
+                        scn_w.init_state(jax.random.PRNGKey(0)), 59,
+                        stochastic=False, record=False)
+    peds = np.asarray(final.num_peds)
+    assert np.all(peds >= 0) and peds.sum() > 0
+
+
+def test_mcp_tools(tmp_path):
+    from pednstream_tpu.mcp import server
+
+    r = server.create_environment("nine_intersections")
+    assert r["status"] == "CREATED", r
+    sid = r["sim_id"]
+    r = server.run_simulation(sid, steps=10)
+    assert r["current_step"] == 10
+    r = server.run_simulation(sid, until=25)
+    assert r["current_step"] == 25
+    server._manager.base_output_dir = tmp_path
+    out = server.save_outputs(sid)
+    assert os.path.exists(os.path.join(out["output_dir"], "link_data.json"))
+    assert server.get_status(sid)["status"] in ("CREATED", "COMPLETED")
+    assert server.cancel_simulation(sid)["status"] == "CANCELLED"
+
+    v = server.validate_config(yaml_text="network: {origin_nodes: [0]}")
+    assert not v["valid"]
+    v = server.validate_config(yaml_text=server.list_config_schema()["example_yaml"])
+    assert v["valid"], v
+
+
+def test_scripted_agent_client():
+    from pednstream_tpu.mcp.agent_client import SimulationAgent
+    from pednstream_tpu.mcp.assistant_harness import ScriptedAssistant
+
+    script = [
+        {"tool_calls": [{"name": "list_config_schema", "arguments": {}}]},
+        {"tool_calls": [{"name": "validate_config", "arguments": {
+            "yaml_text": "network:\n  origin_nodes: [0]\n"}}]},
+        {"text": "done", "tool_calls": []},
+    ]
+    agent = SimulationAgent(ScriptedAssistant(script))
+    transcript = agent.run("check the schema")
+    tools_called = [e["tool"] for e in transcript if "tool" in e]
+    assert tools_called == ["list_config_schema", "validate_config"]
