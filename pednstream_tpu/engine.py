@@ -151,12 +151,22 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
     # the flow dtype as in the reference expression (link.py:210-212)
     F = f32(1.0) / (f32(1.0) + _nofma(scn, ep.gamma.astype(f32) * avg_tt))
     base = ts - tau
-    infl = [_ring_read(st.inflow_ring, base - k, scn.H) for k in range(4)]
     one_m_f = f32(1.0) - F
-    diff_raw = (
-        (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
-        + _nofma(scn, (F * one_m_f**2) * infl[2])
-    ) + _nofma(scn, (F * one_m_f**3) * infl[3])
+    if getattr(scn, "exact_parity", False):
+        # reference summation order (link.py:210-212), 4 ring reads
+        infl = [_ring_read(st.inflow_ring, base - k, scn.H) for k in range(4)]
+        diff_raw = (
+            (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
+            + _nofma(scn, (F * one_m_f**2) * infl[2])
+        ) + _nofma(scn, (F * one_m_f**3) * infl[3])
+    else:
+        # fast path: all 4 lags in one masked reduction over the ring
+        from .ops import diffusion_single_pass
+
+        coefs = jnp.stack(
+            [F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=1
+        ).astype(st.inflow_ring.dtype)
+        diff_raw = diffusion_single_pass(st.inflow_ring, base, coefs, scn.H)
     diffusion = jnp.maximum(jnp.ceil(diff_raw), 0.0)
 
     freeflow = shared_density32 <= ep.k_critical.astype(f32)

@@ -171,6 +171,60 @@ class MLPValue(nn.Module):
         return nn.Dense(1)(x)[0], carry
 
 
+class GATLayer(nn.Module):
+    """Dense graph-attention layer (the DenseGATConv role in the
+    reference's GAT-LSTM family, PPO_backup.py:126-353): learned
+    pairwise attention scores over link nodes, optionally masked by an
+    adjacency matrix."""
+
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, adj: jnp.ndarray = None):  # h: [L, F]
+        L = h.shape[0]
+        wh = nn.Dense(self.hidden_dim, use_bias=False)(h)
+        a_src = nn.Dense(1, use_bias=False)(wh)[:, 0]  # [L]
+        a_dst = nn.Dense(1, use_bias=False)(wh)[:, 0]
+        scores = nn.leaky_relu(a_src[:, None] + a_dst[None, :], 0.2)  # [L, L]
+        if adj is not None:
+            scores = jnp.where(adj > 0, scores, -1e9)
+        att = jax.nn.softmax(scores, axis=-1)
+        return nn.tanh(att @ wh)
+
+
+class GATLSTMPolicy(nn.Module):
+    """Per-link shared LSTM -> GAT spatial attention -> per-link heads
+    (PPO_backup.py:126-353)."""
+
+    num_links: int
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, obs_links: jnp.ndarray, carry, adj: jnp.ndarray = None):
+        x = nn.tanh(nn.Dense(self.hidden_dim)(obs_links))
+        cell = nn.OptimizedLSTMCell(self.hidden_dim)
+        new_carry, h = jax.vmap(cell)(carry, x)
+        z = GATLayer(self.hidden_dim)(h, adj)
+        mu = nn.Dense(1)(z)[:, 0]
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-0.5), (self.num_links,)
+        )
+        return mu, log_std, new_carry
+
+
+class GATLSTMValue(nn.Module):
+    num_links: int
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, obs_links: jnp.ndarray, carry, adj: jnp.ndarray = None):
+        x = nn.tanh(nn.Dense(self.hidden_dim)(obs_links))
+        cell = nn.OptimizedLSTMCell(self.hidden_dim)
+        new_carry, h = jax.vmap(cell)(carry, x)
+        z = GATLayer(self.hidden_dim)(h, adj)
+        return nn.Dense(1)(z.mean(axis=0))[0], new_carry
+
+
 # -- SAC networks (SAC_copy.py:313-420) --------------------------------------
 
 

@@ -79,6 +79,11 @@ class PPOAgent:
             self.num_links = obs_dim // features_per_link
             self.actor = nets.AttentionPolicy(self.num_links, hidden_dim)
             self.critic = nets.AttentionValue(self.num_links, hidden_dim)
+        elif net_type == "gat":
+            assert features_per_link, "gat nets need features_per_link"
+            self.num_links = obs_dim // features_per_link
+            self.actor = nets.GATLSTMPolicy(self.num_links, hidden_dim)
+            self.critic = nets.GATLSTMValue(self.num_links, hidden_dim)
         elif net_type == "lstm":
             self.num_links = None
             self.actor = nets.LSTMPolicy(act_dim, hidden_dim)
@@ -124,13 +129,13 @@ class PPOAgent:
 
     def _shape_obs(self, obs):
         obs = jnp.asarray(obs, jnp.float32)
-        if self.net_type == "attention":
+        if self.net_type in ("attention", "gat"):
             return obs.reshape(self.num_links, self.features_per_link)
         return obs
 
     def _initial_carry(self, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
-        if self.net_type == "attention":
+        if self.net_type in ("attention", "gat"):
             return nets.AttentionTorso.initial_carry(key, self.num_links, self.hidden_dim)
         if self.net_type == "lstm":
             return nets.LSTMPolicy.initial_carry(key, self.hidden_dim)
