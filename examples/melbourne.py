@@ -8,15 +8,41 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
+
 import jax
 
 from pednstream_tpu.engine import simulate
 from pednstream_tpu.generator import NetworkEnvGenerator
 from pednstream_tpu.io import OutputHandler
 
+
+def make_sensor_demand(data_dir: str):
+    """Per-origin demand from the Melbourne pedestrian sensor feed
+    (reference examples/Melbourne.py:19-34): minute counts spread to the
+    10 s simulation step, looked up via the sensor->node mapping.
+    Registered as a custom pattern; an origin uses it when its demand
+    config names ``node_demand_from_data``."""
+    import pandas as pd
+
+    data = pd.read_csv(os.path.join(data_dir, "melbourne.csv"))
+    sensor_node_df = pd.read_csv(os.path.join(data_dir, "sensor_node_df.csv"))
+
+    def node_demand_from_data(origin_node, params=None):
+        nearest = sensor_node_df[sensor_node_df["node_id"] == origin_node]["sensor_id"].values[0]
+        minute_counts = data[data["Location_ID"] == nearest]["Direction_1"]
+        return np.ceil(np.repeat(minute_counts.values / 6, 6))
+
+    return node_demand_from_data
+
+
 if __name__ == "__main__":
     gen = NetworkEnvGenerator()
-    scn = gen.create_network("melbourne")
+    data_dir = str(gen._dataset_dir("melbourne"))
+    custom = []
+    if os.path.exists(os.path.join(data_dir, "melbourne.csv")):
+        custom = [make_sensor_demand(data_dir)]
+    scn = gen.create_network("melbourne", custom_demand_functions=custom)
     print(f"melbourne: {scn.n_nodes} nodes, {scn.n_links} directed links")
 
     state = scn.init_state(jax.random.PRNGKey(0))

@@ -168,3 +168,27 @@ def test_scripted_agent_client():
     transcript = agent.run("check the schema")
     tools_called = [e["tool"] for e in transcript if "tool" in e]
     assert tools_called == ["list_config_schema", "validate_config"]
+
+
+def test_batched_ppo_trainer():
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.batched_ppo import BatchedPPOTrainer
+
+    env = PedNetParallelEnv("butterfly_scC", obs_mode="option2", seed=0,
+                            action_gap=5)
+    tr = BatchedPPOTrainer(env.core, num_envs=8, rollout_len=4,
+                           minibatches=2, epochs=1)
+    ts = tr.init(jax.random.PRNGKey(0))
+    ts, m = tr.train_iteration(ts)
+    assert "gate_2/loss" in m and np.isfinite(m["gate_2/loss"])
+    assert int(ts.iteration) == 1
+    # params actually changed
+    import jax.tree_util as jtu
+
+    ts2, _ = tr.train_iteration(ts)
+    diff = jtu.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jtu.tree_map(lambda a, b: a - b, ts.params["gate_2"], ts2.params["gate_2"]),
+        0.0,
+    )
+    assert diff > 0
