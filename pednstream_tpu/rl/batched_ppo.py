@@ -160,6 +160,16 @@ class BatchedPPOTrainer:
             new_states, new_obs, rewards, done, _ = jax.vmap(self.core._step_impl)(
                 env_states, env_actions
             )
+            # auto-reset finished replicas (episode boundary = horizon end)
+            reset_keys = jax.vmap(lambda s: jax.random.fold_in(s, 7))(new_states.key)
+            fresh = jax.vmap(self.core.scn.init_state)(reset_keys)
+            new_states = jax.tree_util.tree_map(
+                lambda f, c: jnp.where(
+                    done.reshape((-1,) + (1,) * (c.ndim - 1)), f, c
+                ),
+                fresh, new_states,
+            )
+            new_obs = jax.vmap(self.core._observations)(new_states)
             values = {
                 aid: jax.vmap(
                     lambda x: value_net.apply(ts.value_params[aid], x)[0]
