@@ -23,6 +23,7 @@ from .config import load_config, validate_config
 from .scenario import Scenario, build_scenario
 from .engine import make_step, simulate
 from .state import NetworkState
+from .network import Network
 
 __all__ = [
     "load_config",
@@ -32,4 +33,5 @@ __all__ = [
     "make_step",
     "simulate",
     "NetworkState",
+    "Network",
 ]

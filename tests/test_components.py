@@ -192,3 +192,34 @@ def test_batched_ppo_trainer():
         0.0,
     )
     assert diff > 0
+
+
+def test_network_facade():
+    """Reference-style OO driving (pednstream_tpu.Network) matches the
+    functional engine and enforces sequential stepping."""
+    from pednstream_tpu import Network, build_scenario
+    from pednstream_tpu.engine import simulate
+
+    adj = np.zeros((4, 4), dtype=int)
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        adj[a, b] = adj[b, a] = 1
+    params = {
+        "unit_time": 10, "simulation_steps": 40, "seed": 1,
+        "default_link": {"length": 100, "width": 2, "free_flow_speed": 1.1,
+                         "k_critical": 2, "k_jam": 6},
+        "demand": {"origin_0": {"peak_lambda": 15, "base_lambda": 5}},
+    }
+    net = Network(adj, params, origin_nodes=[0], destination_nodes=[3],
+                  stochastic=False)
+    for t in range(1, 40):
+        net.network_loading(t)
+
+    scn = build_scenario(adj, params, [0], [3])
+    final, traj = simulate(scn, scn.engine_params, scn.init_state(jax.random.PRNGKey(0)),
+                           39, stochastic=False, record=True)
+    e = scn.topo.link_id_to_idx[(0, 1)]
+    np.testing.assert_allclose(
+        net.links[(0, 1)].density[1:40], np.asarray(traj.density)[:, e]
+    )
+    with pytest.raises(ValueError):
+        net.network_loading(7)
