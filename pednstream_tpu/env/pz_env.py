@@ -40,6 +40,7 @@ class PedNetParallelEnv(ParallelEnv):
         stochastic: bool = True,
         data_dir: Optional[str] = None,
         record_history: bool = False,
+        history_window: Optional[int] = None,
     ):
         super().__init__()
         self.render_mode = render_mode
@@ -49,7 +50,9 @@ class PedNetParallelEnv(ParallelEnv):
         if seed is not None:
             np.random.seed(seed)
 
-        self.env_generator = NetworkEnvGenerator(data_dir=data_dir)
+        self.env_generator = NetworkEnvGenerator(
+            data_dir=data_dir, history_window=history_window
+        )
         self.scn = self.env_generator.create_network(dataset, verbose=verbose)
         self.simulation_steps = self.scn.simulation_steps
 

@@ -35,7 +35,8 @@ _DEFAULT_DATA_ROOTS = [
 class NetworkEnvGenerator:
     """Build (and randomize) scenarios from dataset directories."""
 
-    def __init__(self, data_dir: Optional[str] = None, ftype=None, exact_parity: bool = False):
+    def __init__(self, data_dir: Optional[str] = None, ftype=None,
+                 exact_parity: bool = False, history_window: Optional[int] = None):
         self.data_roots = (
             [Path(data_dir)] if data_dir else list(_DEFAULT_DATA_ROOTS)
         )
@@ -43,6 +44,7 @@ class NetworkEnvGenerator:
         self.config = None
         self.ftype = ftype
         self.exact_parity = exact_parity
+        self.history_window = history_window
         self.scenario: Optional[Scenario] = None
 
     def _dataset_dir(self, name: str) -> Path:
@@ -129,6 +131,8 @@ class NetworkEnvGenerator:
         kwargs = {}
         if self.ftype is not None:
             kwargs["ftype"] = self.ftype
+        if self.history_window is not None:
+            kwargs["history_window"] = self.history_window
         self.scenario = build_scenario(
             adjacency_matrix=self.network_data["adjacency_matrix"],
             params=self.config["params"],
