@@ -50,16 +50,26 @@ def main():
         return jax.lax.scan(body, st, None, length=STEPS)[0]
 
     run = jax.jit(jax.vmap(rollout))
-    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
-    states = jax.vmap(scn.init_state)(keys)
+    states = jax.vmap(scn.init_state)(jax.random.split(jax.random.PRNGKey(0), BATCH))
     out = run(states)
     jax.block_until_ready(out.density)
+    import numpy as _np
+
     times = []
-    for _ in range(3):
+    for i in range(3):
+        # fresh PRNG keys per run (identical repeated executions can be
+        # replay-cached by the remote runtime), and HOST MATERIALIZATION
+        # of the result (block_until_ready can return on a fire-ahead ack
+        # before the remote execution completes)
+        states = jax.vmap(scn.init_state)(
+            jax.random.split(jax.random.PRNGKey(i + 1), BATCH)
+        )
+        _np.asarray(states.density)
         t0 = time.time()
         out = run(states)
-        jax.block_until_ready(out.density)
+        checksum = float(_np.asarray(out.num_peds).sum())
         times.append(time.time() - t0)
+    assert checksum > 0, "engine produced an empty network"
     agg = STEPS * BATCH / min(times)
 
     # --- secondary: single replica, exact full-horizon mode ---

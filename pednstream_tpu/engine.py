@@ -370,6 +370,10 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
 def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
             record: bool = True) -> Tuple[NetworkState, Optional[StepOutputs]]:
     """One full network_loading(t) step as a pure function."""
+    # EngineParams may carry NumPy leaves (backend-independent scenario
+    # constants); promote to jnp so traced indexing works.  No-op for
+    # already-traced/device values.
+    ep = jax.tree_util.tree_map(jnp.asarray, ep)
     f = scn.ftype
     t = st.t
 

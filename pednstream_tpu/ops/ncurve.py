@@ -35,8 +35,12 @@ def diffusion_single_pass(inflow_ring, base, coefs, H: int):
     base_slot = jnp.mod(base, H)[:, None]
     k = jnp.mod(base_slot - h_ids, H)  # lag index of slot h
     valid = (k < 4) & ((base[:, None] - k) >= 0)
-    k = jnp.minimum(k, 3)
-    coef = jnp.take_along_axis(coefs, k, axis=1)  # [E, H] via axis-1 gather
+    # select (NOT gather: per-lane dynamic gathers serialize on TPU)
+    coef = jnp.where(
+        k == 0, coefs[:, 0:1],
+        jnp.where(k == 1, coefs[:, 1:2],
+                  jnp.where(k == 2, coefs[:, 2:3], coefs[:, 3:4])),
+    )
     coef = jnp.where(valid, coef, 0.0)
     return (inflow_ring * coef).sum(axis=1)
 

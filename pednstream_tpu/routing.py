@@ -335,20 +335,20 @@ def build_routing_tables(
     routed_mask[routed_nodes] = True
 
     return RoutingTables(
-        te_dist=jnp.asarray(te_dist),
-        te_group=jnp.asarray(te_group),
-        te_uo_idx=jnp.asarray(np.array(te_uo_idx, dtype=np.int32)),
-        te_down_link=jnp.asarray(np.array(te_down_link, dtype=np.int32)),
-        te_phi_idx=jnp.asarray(np.array(te_phi_idx, dtype=np.int32)),
-        group_dist_sum=jnp.asarray(group_dist_sum),
-        uo_od=jnp.asarray(np.array(uo_od_l, dtype=np.int32)),
-        uo_group=jnp.asarray(uo_group_arr),
-        uo_group_count=jnp.asarray(uo_group_count),
-        routed_mask=jnp.asarray(routed_mask),
-        temp=jnp.asarray(float(builder.temp)),
-        alpha=jnp.asarray(float(builder.alpha)),
-        beta=jnp.asarray(float(builder.beta)),
-        omega=jnp.asarray(float(builder.omega)),
+        te_dist=te_dist,
+        te_group=te_group,
+        te_uo_idx=np.array(te_uo_idx, dtype=np.int32),
+        te_down_link=np.array(te_down_link, dtype=np.int32),
+        te_phi_idx=np.array(te_phi_idx, dtype=np.int32),
+        group_dist_sum=group_dist_sum,
+        uo_od=np.array(uo_od_l, dtype=np.int32),
+        uo_group=uo_group_arr,
+        uo_group_count=uo_group_count,
+        routed_mask=routed_mask,
+        temp=np.float64(builder.temp),
+        alpha=np.float64(builder.alpha),
+        beta=np.float64(builder.beta),
+        omega=np.float64(builder.omega),
         num_groups=G,
         num_uo_groups=UG,
         num_entries=len(te_rows),

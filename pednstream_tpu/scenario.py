@@ -67,20 +67,23 @@ class Scenario:
         self.n_links = topo.n_links
         self.max_deg = topo.max_deg
 
-        # static index tensors
-        self.reverse_idx = jnp.asarray(topo.reverse_idx)
-        self.in_link_idx = jnp.asarray(topo.in_link_idx)
-        self.out_link_idx = jnp.asarray(topo.out_link_idx)
-        self.slot_valid = jnp.asarray(topo.slot_valid)
-        self.has_virtual = jnp.asarray(topo.has_virtual)
-        self.is_otoo = jnp.asarray(topo.is_otoo)
-        self.node_arity = jnp.asarray(topo.node_arity)
-        self.end_node = jnp.asarray(topo.end_node)
-        self.end_slot = jnp.asarray(topo.end_slot)
-        self.start_node = jnp.asarray(topo.start_node)
-        self.start_slot = jnp.asarray(topo.start_slot)
-        self.is_separator = jnp.asarray(lp.is_separator)
-        self.fd_type = jnp.asarray(lp.fd_type)
+        # static index tensors — kept as NumPy so jitted closures embed
+        # them as backend-independent constants (no device round-trips at
+        # trace time; a scenario built while one backend is unhealthy or
+        # before a backend switch stays usable)
+        self.reverse_idx = np.asarray(topo.reverse_idx)
+        self.in_link_idx = np.asarray(topo.in_link_idx)
+        self.out_link_idx = np.asarray(topo.out_link_idx)
+        self.slot_valid = np.asarray(topo.slot_valid)
+        self.has_virtual = np.asarray(topo.has_virtual)
+        self.is_otoo = np.asarray(topo.is_otoo)
+        self.node_arity = np.asarray(topo.node_arity)
+        self.end_node = np.asarray(topo.end_node)
+        self.end_slot = np.asarray(topo.end_slot)
+        self.start_node = np.asarray(topo.start_node)
+        self.start_slot = np.asarray(topo.start_slot)
+        self.is_separator = np.asarray(lp.is_separator)
+        self.fd_type = np.asarray(lp.fd_type)
 
         # static per-link derived quantities
         max_tt = lp.length / 0.05  # jam travel-time clamp (link.py:63)
@@ -90,10 +93,10 @@ class Scenario:
         fftau = np.round(tt0.astype(np.float32) / self.unit_time).astype(np.int32)
         tau_shock = np.round(lp.length / (shockwave * self.unit_time)).astype(np.int32)
 
-        self.max_travel_time = jnp.asarray(max_tt.astype(np.float32))
-        self.travel_time0 = jnp.asarray(tt0.astype(np.float32))
-        self.free_flow_tau = jnp.asarray(fftau)
-        self.tau_shockwave = jnp.asarray(tau_shock)
+        self.max_travel_time = max_tt.astype(np.float32)
+        self.travel_time0 = tt0.astype(np.float32)
+        self.free_flow_tau = fftau
+        self.tau_shockwave = tau_shock
 
         # N-curve history horizon.  The dynamic lookback tau =
         # round(avg_travel_time / unit_time) (link.py:260) is UNBOUNDED in
@@ -151,10 +154,10 @@ class Scenario:
             num_peds=jnp.zeros(E, dtype=f32),
             density=jnp.zeros(E, dtype=f32),
             speed=jnp.zeros(E, dtype=f32),
-            travel_time=self.travel_time0,
+            travel_time=jnp.asarray(self.travel_time0),
             link_flow=jnp.zeros(E, dtype=f32),
-            avg_tt=self.travel_time0,
-            tt_run_sum=self.travel_time0,
+            avg_tt=jnp.asarray(self.travel_time0),
+            tt_run_sum=jnp.asarray(self.travel_time0),
             sending_prev=-jnp.ones(E, dtype=f),  # -1 sentinel (link.py:16)
             recv_prev=-jnp.ones(E, dtype=f),  # -1 sentinel (link.py:17)
             back_gate=jnp.where(is_sep, width / 2, width),  # link.py:55-56,423-424
@@ -175,7 +178,7 @@ def _build_phi_base(topo: TopologySpec, ftype) -> jnp.ndarray:
     m = topo.node_arity.astype(np.float64)
     inv = 1.0 / np.maximum(m - 1.0, 1.0)
     phi = np.where(valid, inv[:, None, None], 0.0)
-    return jnp.asarray(phi, dtype=ftype)
+    return np.asarray(phi, dtype=np.dtype(ftype))
 
 
 def build_scenario(
@@ -222,19 +225,20 @@ def build_scenario(
         routing = build_routing_tables(topo, builder, od_pairs)
 
     lp = topo.link_params
+    npdt = np.dtype(ftype)
     ep = EngineParams(
-        length=jnp.asarray(lp.length, dtype=ftype),
-        width=jnp.asarray(lp.width, dtype=ftype),
-        free_flow_speed=jnp.asarray(lp.free_flow_speed, dtype=ftype),
-        k_critical=jnp.asarray(lp.k_critical, dtype=ftype),
-        k_jam=jnp.asarray(lp.k_jam, dtype=ftype),
-        gamma=jnp.asarray(lp.gamma, dtype=ftype),
-        bi_factor=jnp.asarray(lp.bi_factor, dtype=ftype),
-        activity_probability=jnp.asarray(lp.activity_probability, dtype=ftype),
-        speed_noise_std=jnp.asarray(lp.speed_noise_std, dtype=ftype),
-        demand=jnp.asarray(demand_table, dtype=ftype),
-        od_table=jnp.asarray(od_table, dtype=ftype),
-        phi_base=_build_phi_base(topo, ftype),
+        length=np.asarray(lp.length, dtype=npdt),
+        width=np.asarray(lp.width, dtype=npdt),
+        free_flow_speed=np.asarray(lp.free_flow_speed, dtype=npdt),
+        k_critical=np.asarray(lp.k_critical, dtype=npdt),
+        k_jam=np.asarray(lp.k_jam, dtype=npdt),
+        gamma=np.asarray(lp.gamma, dtype=npdt),
+        bi_factor=np.asarray(lp.bi_factor, dtype=npdt),
+        activity_probability=np.asarray(lp.activity_probability, dtype=npdt),
+        speed_noise_std=np.asarray(lp.speed_noise_std, dtype=npdt),
+        demand=np.asarray(demand_table, dtype=npdt),
+        od_table=np.asarray(od_table, dtype=npdt),
+        phi_base=np.asarray(_build_phi_base(topo, ftype)),
     )
 
     return Scenario(
