@@ -50,24 +50,22 @@ def _fused_kernel(idx_ci_ref, idx_co_ref, base_ref, coef_ref,
                   ci_out_ref, co_out_ref, diff_out_ref, *, H: int):
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
 
-    def onehot_read(ring, idx):
-        sel = (h_ids == jnp.mod(idx, H)[:, None]) & (idx >= 0)[:, None]
-        return jnp.where(sel, ring, 0.0).sum(axis=1)
+    def onehot_read(ring, idx2):  # idx2: [tile, 1]
+        sel = (h_ids == jnp.mod(idx2, H)) & (idx2 >= 0)
+        return jnp.where(sel, ring, 0.0).sum(axis=1, keepdims=True)
 
     ci_out_ref[:] = onehot_read(ci_ring_ref[:], idx_ci_ref[:])
     co_out_ref[:] = onehot_read(co_ring_ref[:], idx_co_ref[:])
 
-    base = base_ref[:]
-    base_slot = jnp.mod(base, H)[:, None]
-    k = jnp.mod(base_slot - h_ids, H)
-    valid = (k < 4) & ((base[:, None] - k) >= 0)
-    kc = jnp.minimum(k, 3)
-    coefs = coef_ref[:]  # [TILE, 4]
-    coef = jnp.where(kc == 0, coefs[:, 0:1],
-                     jnp.where(kc == 1, coefs[:, 1:2],
-                               jnp.where(kc == 2, coefs[:, 2:3], coefs[:, 3:4])))
+    base2 = base_ref[:]  # [tile, 1]
+    k = jnp.mod(jnp.mod(base2, H) - h_ids, H)
+    valid = (k < 4) & ((base2 - k) >= 0)
+    coefs = coef_ref[:]  # [tile, 4]
+    coef = jnp.where(k == 0, coefs[:, 0:1],
+                     jnp.where(k == 1, coefs[:, 1:2],
+                               jnp.where(k == 2, coefs[:, 2:3], coefs[:, 3:4])))
     coef = jnp.where(valid, coef, 0.0)
-    diff_out_ref[:] = (in_ring_ref[:] * coef).sum(axis=1)
+    diff_out_ref[:] = (in_ring_ref[:] * coef).sum(axis=1, keepdims=True)
 
 
 def fused_history_reads(cum_in_ring, cum_out_ring, inflow_ring,
@@ -88,21 +86,28 @@ def fused_history_reads(cum_in_ring, cum_out_ring, inflow_ring,
     Ep = E + pad
     grid = (Ep // tile,)
 
-    vec = lambda: pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.ANY)
-    ring = lambda: pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.ANY)
+    # scalars as [E, 1] so all kernel ops stay >= 2-D (Mosaic cannot
+    # reshape 1-D i1 vectors)
+    idx_ci2 = idx_ci.astype(jnp.int32)[:, None]
+    idx_co2 = idx_co.astype(jnp.int32)[:, None]
+    base2 = base.astype(jnp.int32)[:, None]
+
+    col = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ring = lambda: pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         partial(_fused_kernel, H=H),
         grid=grid,
-        in_specs=[vec(), vec(), vec(), pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.ANY),
+        in_specs=[col(), col(), col(),
+                  pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
                   ring(), ring(), ring()],
-        out_specs=(vec(), vec(), vec()),
+        out_specs=(col(), col(), col()),
         out_shape=(
-            jax.ShapeDtypeStruct((Ep,), cum_in_ring.dtype),
-            jax.ShapeDtypeStruct((Ep,), cum_out_ring.dtype),
-            jax.ShapeDtypeStruct((Ep,), inflow_ring.dtype),
+            jax.ShapeDtypeStruct((Ep, 1), cum_in_ring.dtype),
+            jax.ShapeDtypeStruct((Ep, 1), cum_out_ring.dtype),
+            jax.ShapeDtypeStruct((Ep, 1), inflow_ring.dtype),
         ),
         interpret=interpret,
-    )(idx_ci, idx_co, base, coefs, cum_in_ring, cum_out_ring, inflow_ring)
+    )(idx_ci2, idx_co2, base2, coefs, cum_in_ring, cum_out_ring, inflow_ring)
     ci, co, diff = out
-    return ci[:E], co[:E], diff[:E]
+    return ci[:E, 0], co[:E, 0], diff[:E, 0]
