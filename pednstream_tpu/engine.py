@@ -352,8 +352,21 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
     v = jnp.maximum(f32(0.0), v)
 
     speed = v
+    # In the reference's free-flow branch (yperman/greenshields, k_eff <=
+    # k_critical, no noise) the speed is a Python float, so length/speed
+    # divides in f64; elsewhere the f32 speed forces an f32 division.
+    # scn.tt_freeflow32 carries the f64-then-cast value.
+    from .topology import FD_TYPES
+
+    kc32 = ep.k_critical.astype(f32)
+    ff_exact = (k_eff <= kc32) & (scn.fd_type != FD_TYPES["smulders"])
+    if stochastic:
+        ff_exact = ff_exact & (ep.speed_noise_std <= 0)
+    tt_f32div = ep.length.astype(f32) / jnp.where(v > 0, v, f32(1.0))
     travel_time = jnp.where(
-        v > 0, ep.length.astype(f32) / jnp.where(v > 0, v, f32(1.0)), scn.max_travel_time
+        v > 0,
+        jnp.where(ff_exact, jnp.asarray(scn.tt_freeflow32), tt_f32div),
+        jnp.asarray(scn.max_travel_time),
     )
     link_flow = link_flow_kv(density, speed)
 

@@ -64,11 +64,12 @@ class PedNetEnvCore:
         self.speed_norm = 1.5
         self.flow_norm = 20.0
 
-        # device copies of agent index arrays
-        self._sep_fwd = jnp.asarray(spec.sep_fwd_link)
-        self._sep_total = jnp.asarray(spec.sep_total_width)
-        self._gate_links = [jnp.asarray(g) for g in spec.gate_links]
-        self._gate_widths = [jnp.asarray(w) for w in spec.gate_link_widths]
+        # static agent index arrays (NumPy: embedded as backend-independent
+        # constants in jitted closures)
+        self._sep_fwd = np.asarray(spec.sep_fwd_link)
+        self._sep_total = np.asarray(spec.sep_total_width)
+        self._gate_links = [np.asarray(g) for g in spec.gate_links]
+        self._gate_widths = [np.asarray(w) for w in spec.gate_link_widths]
 
         self._step = jax.jit(self._step_impl)
 

@@ -95,6 +95,12 @@ class Scenario:
 
         self.max_travel_time = max_tt.astype(np.float32)
         self.travel_time0 = tt0.astype(np.float32)
+        # free-flow travel time in FULL f64 then cast: in the reference's
+        # free-flow FD branch the speed stays a Python float (v = self.v_f,
+        # functions.py:120-121), so travel_time = length/speed divides in
+        # f64 before the f32 store — unlike the congested branch where the
+        # f32 speed forces an f32 division
+        self.tt_freeflow32 = (lp.length / lp.free_flow_speed).astype(np.float32)
         self.free_flow_tau = fftau
         self.tau_shockwave = tau_shock
 

@@ -222,3 +222,4 @@ if __name__ == "__main__":
         print(f"{name}: saved, links={out['density'].shape[0]}, "
               f"T+1={out['density'].shape[1]}, total peds in final step="
               f"{out['num_pedestrians'][:, -2].sum():.1f}")
+

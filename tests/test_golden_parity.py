@@ -40,7 +40,8 @@ def _available():
     if not os.path.isdir(GOLDEN_DIR):
         return []
     return sorted(
-        f[:-4] for f in os.listdir(GOLDEN_DIR) if f.endswith(".npz")
+        f[:-4] for f in os.listdir(GOLDEN_DIR)
+        if f.endswith(".npz") and f != "delft.npz"  # delft has its own test
     )
 
 
@@ -87,3 +88,34 @@ def test_golden_parity(name, x64):
             ref = g[field][:, 0 : T - 1].T
         err = np.abs(mine - ref).max()
         assert err <= tol, f"{name}.{field}: max abs err {err}"
+
+
+def test_golden_parity_delft(x64):
+    """Real-world delft network (818 directed links, measured corridor
+    lengths injected from edge_distances.pkl): bit-exact vs the reference
+    over 199 steps."""
+    import jax.numpy as jnp
+    from pednstream_tpu.engine import simulate
+    from pednstream_tpu.generator import NetworkEnvGenerator
+
+    path = os.path.join(GOLDEN_DIR, "delft.npz")
+    if not os.path.exists(path):
+        pytest.skip("delft fixture missing; run scripts/gen_golden_delft.py")
+    g = np.load(path, allow_pickle=True)
+    T = json.loads(str(g["meta"]))["steps"]
+
+    np.random.seed(42)
+    gen = NetworkEnvGenerator(ftype=jnp.float64, exact_parity=True)
+    scn = gen.create_network("delft")
+    link_keys = [f"{u}_{v}" for (u, v) in scn.topo.link_nodes.tolist()]
+    order = [link_keys.index(k) for k in list(g["link_keys"])]
+
+    _, outs = simulate(scn, scn.engine_params, scn.init_state(jax.random.PRNGKey(0)),
+                       T - 1, stochastic=False, record=True)
+    for field, (attr, off) in FIELDS.items():
+        if field not in g:
+            continue
+        mine = np.asarray(getattr(outs, attr))[:, order]
+        ref = (g[field][:, 0 : T - 1] if off else g[field][:, 1:T]).T
+        err = np.abs(mine - ref).max()
+        assert err <= 1e-5, f"delft.{field}: max abs err {err}"
