@@ -240,12 +240,24 @@ class PedNetEnvCore:
 
     # -- batched API -------------------------------------------------------------
 
+    @property
+    def _jit_batch_reset(self):
+        if not hasattr(self, "_jit_batch_reset_fn"):
+            self._jit_batch_reset_fn = jax.jit(jax.vmap(lambda k: self.reset(k)))
+        return self._jit_batch_reset_fn
+
+    @property
+    def _jit_batch_step(self):
+        if not hasattr(self, "_jit_batch_step_fn"):
+            self._jit_batch_step_fn = jax.jit(jax.vmap(self._step_impl))
+        return self._jit_batch_step_fn
+
     def batch_reset(self, keys: jax.Array):
         """vmapped reset over a batch of PRNG keys -> batched state/obs."""
-        return jax.vmap(lambda k: self.reset(k))(keys)
+        return self._jit_batch_reset(keys)
 
     def batch_step(self, states: NetworkState, actions: Dict[str, jnp.ndarray]):
         """vmapped step: states and every action leaf carry a leading batch
         axis.  One XLA program steps all replicas in lockstep."""
-        st, obs, rewards, done, _ = jax.vmap(self._step_impl)(states, actions)
+        st, obs, rewards, done, _ = self._jit_batch_step(states, actions)
         return st, obs, rewards, done
