@@ -21,10 +21,10 @@ np.random.normal = lambda loc=0.0, scale=1.0, size=None: (
 from src.utils.env_loader import NetworkEnvGenerator as RefGen  # noqa: E402
 
 
-def main(steps=200):
+def main(steps=200, dataset="delft"):
     np.random.seed(42)
     gen = RefGen()
-    net = gen.create_network("delft")
+    net = gen.create_network(dataset)
     T = min(steps, gen.config["params"]["simulation_steps"])
     for t in range(1, T):
         net.network_loading(t)
@@ -37,11 +37,13 @@ def main(steps=200):
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                           "tests", "golden")
     np.savez_compressed(
-        os.path.join(outdir, "delft.npz"),
-        meta=json.dumps({"dataset": "delft", "steps": T}), **out,
+        os.path.join(outdir, f"{dataset}.npz"),
+        meta=json.dumps({"dataset": dataset, "steps": T}), **out,
     )
-    print(f"delft: saved {len(keys)} links x {T} steps")
+    print(f"{dataset}: saved {len(keys)} links x {T} steps")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 200)
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    dataset = sys.argv[2] if len(sys.argv) > 2 else "delft"
+    main(steps, dataset)

@@ -41,7 +41,7 @@ def _available():
         return []
     return sorted(
         f[:-4] for f in os.listdir(GOLDEN_DIR)
-        if f.endswith(".npz") and f != "delft.npz"  # delft has its own test
+        if f.endswith(".npz") and f not in ("delft.npz", "melbourne.npz")
     )
 
 
@@ -90,23 +90,24 @@ def test_golden_parity(name, x64):
         assert err <= tol, f"{name}.{field}: max abs err {err}"
 
 
-def test_golden_parity_delft(x64):
-    """Real-world delft network (818 directed links, measured corridor
-    lengths injected from edge_distances.pkl): bit-exact vs the reference
-    over 199 steps."""
+@pytest.mark.parametrize("dataset", ["delft", "melbourne"])
+def test_golden_parity_realworld(dataset, x64):
+    """Real-world networks (measured corridor lengths from
+    edge_distances.pkl; melbourne adds activity_probability=0.5):
+    bit-exact vs the reference over 199 steps."""
     import jax.numpy as jnp
     from pednstream_tpu.engine import simulate
     from pednstream_tpu.generator import NetworkEnvGenerator
 
-    path = os.path.join(GOLDEN_DIR, "delft.npz")
+    path = os.path.join(GOLDEN_DIR, f"{dataset}.npz")
     if not os.path.exists(path):
-        pytest.skip("delft fixture missing; run scripts/gen_golden_delft.py")
+        pytest.skip(f"{dataset} fixture missing; run scripts/gen_golden_realworld.py")
     g = np.load(path, allow_pickle=True)
     T = json.loads(str(g["meta"]))["steps"]
 
     np.random.seed(42)
     gen = NetworkEnvGenerator(ftype=jnp.float64, exact_parity=True)
-    scn = gen.create_network("delft")
+    scn = gen.create_network(dataset)
     link_keys = [f"{u}_{v}" for (u, v) in scn.topo.link_nodes.tolist()]
     order = [link_keys.index(k) for k in list(g["link_keys"])]
 
@@ -118,4 +119,4 @@ def test_golden_parity_delft(x64):
         mine = np.asarray(getattr(outs, attr))[:, order]
         ref = (g[field][:, 0 : T - 1] if off else g[field][:, 1:T]).T
         err = np.abs(mine - ref).max()
-        assert err <= 1e-5, f"delft.{field}: max abs err {err}"
+        assert err <= 1e-5, f"{dataset}.{field}: max abs err {err}"
