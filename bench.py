@@ -39,7 +39,7 @@ def main():
     scn = build_scenario(
         data["adjacency_matrix"], gen.config["params"],
         gen.config["origin_nodes"], gen.config["destination_nodes"],
-        history_window=WINDOW,
+        history_window=WINDOW, binomial_mode="fast",
     )
     ep = scn.engine_params
 
@@ -97,8 +97,8 @@ def main():
             {
                 "metric": (
                     "melbourne aggregate LTM env-steps/s, 512 vmapped stochastic "
-                    "replicas (938 links) on 1 chip; baseline = reference "
-                    "single-process CPU steps/s"
+                    "replicas (938 links, hybrid binomial sampler) on 1 chip; "
+                    "baseline = reference single-process CPU steps/s"
                 ),
                 "value": round(agg, 0),
                 "unit": "env-steps/s",

@@ -76,14 +76,39 @@ def _nofma(scn, x):
     return x
 
 
-def _binom(key, n, p, stochastic: bool):
+_FAST_BINOM_EXACT_N = 16
+
+
+def _binom(key, n, p, stochastic: bool, mode: str = "exact"):
     """Binomial with numpy-style float-n truncation (np.random.binomial
     truncates non-integer n).  Deterministic mode returns the expectation
-    floor(n) * p."""
+    floor(n) * p.
+
+    mode='exact' uses jax.random.binomial (transformed rejection — exact
+    but costs ~64% of the stochastic step at scale).  mode='fast' is a
+    hybrid sampler: exact Bernoulli-sum for n <= 16, Gaussian
+    approximation with rounding and [0, n] clipping beyond (a standard
+    approximation: for n > 16 and the p in [0.5, 0.9] used here the
+    normal approximation's total-variation error is small).  ~2.5x
+    faster end-to-end; validated distributionally in
+    tests/test_stochastic_parity.py.
+    """
     nf = jnp.floor(jnp.maximum(n, 0.0))
     if not stochastic:
         return nf * p
-    return jax.random.binomial(key, nf, jnp.clip(p, 0.0, 1.0)).astype(n.dtype)
+    pc = jnp.clip(p, 0.0, 1.0)
+    if mode == "exact":
+        return jax.random.binomial(key, nf, pc).astype(n.dtype)
+    K = _FAST_BINOM_EXACT_N
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (K,) + nf.shape, dtype=jnp.float32)
+    trials = jnp.arange(K, dtype=nf.dtype)[(...,) + (None,) * nf.ndim]
+    small = ((trials < nf) & (u < pc)).sum(axis=0).astype(n.dtype)
+    z = jax.random.normal(k2, nf.shape, dtype=jnp.float32).astype(n.dtype)
+    mu = nf * pc
+    sigma = jnp.sqrt(jnp.maximum(mu * (1.0 - pc), 0.0))
+    gauss = jnp.clip(jnp.round(mu + sigma * z), 0.0, nf)
+    return jnp.where(nf <= K, small, gauss)
 
 
 def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic):
@@ -180,12 +205,14 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
             sending,
         )
     )
-    released = _binom(keys[0], sending, releasing_prob32, stochastic)  # link.py:336-343
+    released = _binom(keys[0], sending, releasing_prob32, stochastic,
+                      getattr(scn, "binomial_mode", "exact"))  # link.py:336-343
     s_pos = jnp.where(freeflow, jnp.where(diffusion > 0, mixed, released), released)
     sending = jnp.where(sending > 0, s_pos, sending)
 
     # activity stay (link.py:350-358)
-    staying = _binom(keys[1], sending, ep.activity_probability, stochastic)
+    staying = _binom(keys[1], sending, ep.activity_probability, stochastic,
+                     getattr(scn, "binomial_mode", "exact"))
     sending = jnp.where(
         (ep.activity_probability > 0) & (sending > 1), sending - staying, sending
     )
@@ -216,7 +243,8 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
     early = (t - scn.tau_shockwave) < 0  # ts + 1 - tau_shockwave < 0
     cum_out_at = _ring_read(st.cum_out_ring, jnp.maximum(t - scn.tau_shockwave, 0), scn.H)
 
-    rev_rand = _binom(key, num_peds[rev], 0.9, stochastic)  # link.py:382
+    rev_rand = _binom(key, num_peds[rev], 0.9, stochastic,
+                      getattr(scn, "binomial_mode", "exact"))  # link.py:382
     kjam_area = ep.k_jam * area
 
     b_link = jnp.where(

@@ -44,9 +44,11 @@ class Scenario:
         ftype=jnp.float32,
         exact_parity: bool = False,
         history_window: Optional[int] = None,
+        binomial_mode: str = "exact",
     ):
         self.exact_parity = exact_parity
         self.history_window = history_window
+        self.binomial_mode = binomial_mode
         self.topo = topo
         self.params = params
         self.origin_nodes = list(origin_nodes)
@@ -198,6 +200,7 @@ def build_scenario(
     ftype=jnp.float32,
     exact_parity: bool = False,
     history_window: Optional[int] = None,
+    binomial_mode: str = "exact",
 ) -> Scenario:
     """Compile a scenario (reference Network.__init__, network.py:56-121).
 
@@ -260,4 +263,5 @@ def build_scenario(
         ftype=ftype,
         exact_parity=exact_parity,
         history_window=history_window,
+        binomial_mode=binomial_mode,
     )

@@ -32,7 +32,7 @@ PARAMS = {
 N_RUNS = 12
 
 
-def _our_runs():
+def _our_runs(binomial_mode="exact"):
     import copy
 
     from pednstream_tpu import build_scenario
@@ -42,7 +42,7 @@ def _our_runs():
     for i in range(N_RUNS):
         params = copy.deepcopy(PARAMS)
         params["seed"] = 1000 + i  # per-run demand seed
-        scn = build_scenario(ADJ, params, [0], [3])
+        scn = build_scenario(ADJ, params, [0], [3], binomial_mode=binomial_mode)
         f, outs = simulate(scn, scn.engine_params,
                            scn.init_state(jax.random.PRNGKey(i)),
                            PARAMS["simulation_steps"] - 1,
@@ -84,8 +84,9 @@ def _ref_runs():
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
-def test_stochastic_distribution_parity():
-    ours_arr, ours_dens = _our_runs()
+@pytest.mark.parametrize("binomial_mode", ["exact", "fast"])
+def test_stochastic_distribution_parity(binomial_mode):
+    ours_arr, ours_dens = _our_runs(binomial_mode)
     ref_arr, ref_dens = _ref_runs()
 
     # same demand seeds => identical demand; stochastic release/activity
