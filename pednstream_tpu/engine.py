@@ -437,7 +437,7 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
         phi = turning_fractions_step(
             scn.routing, scn.n_nodes, scn.max_deg, scn.node_arity, scn.slot_valid,
             shared_density, st.recv_prev.astype(f), cap_default, od_flow_t,
-            ep.phi_base,
+            ep.phi_base, exact=getattr(scn, "exact_parity", False),
         )
     else:
         phi = ep.phi_base

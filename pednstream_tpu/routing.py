@@ -228,6 +228,14 @@ class RoutingTables:
     beta: jnp.ndarray
     omega: jnp.ndarray
 
+    # static one-hot aggregation matrices: on TPU, segment_sum lowers to
+    # scatter-adds that serialize; with K entries these tiny matmuls ride
+    # the MXU instead (used on the fast path; exact-parity keeps
+    # segment_sum's summation order)
+    onehot_te_group: jnp.ndarray  # [K, G]
+    onehot_uo_group: jnp.ndarray  # [U, UG]
+    onehot_phi: jnp.ndarray  # [K, N*M*M]
+
     num_groups: int = struct.field(pytree_node=False)
     num_uo_groups: int = struct.field(pytree_node=False)
     num_entries: int = struct.field(pytree_node=False)
@@ -334,6 +342,17 @@ def build_routing_tables(
     routed_mask = np.zeros(topo.n_nodes, dtype=bool)
     routed_mask[routed_nodes] = True
 
+    K = len(te_rows)
+    te_group_arr = np.asarray(te_group)
+    onehot_te_group = np.zeros((K, G), dtype=np.float32)
+    onehot_te_group[np.arange(K), te_group_arr] = 1.0
+    U = len(uo_od_l)
+    onehot_uo_group = np.zeros((U, UG), dtype=np.float32)
+    onehot_uo_group[np.arange(U), uo_group_arr] = 1.0
+    NMM = topo.n_nodes * M * M
+    onehot_phi = np.zeros((K, NMM), dtype=np.float32)
+    onehot_phi[np.arange(K), np.array(te_phi_idx, dtype=np.int64)] = 1.0
+
     return RoutingTables(
         te_dist=te_dist,
         te_group=te_group,
@@ -349,6 +368,9 @@ def build_routing_tables(
         alpha=np.float64(builder.alpha),
         beta=np.float64(builder.beta),
         omega=np.float64(builder.omega),
+        onehot_te_group=onehot_te_group,
+        onehot_uo_group=onehot_uo_group,
+        onehot_phi=onehot_phi,
         num_groups=G,
         num_uo_groups=UG,
         num_entries=len(te_rows),
@@ -370,6 +392,7 @@ def turning_fractions_step(
     cap_default,  # [E] back_gate * v_f * k_c * dt (path_finder.py:576)
     od_flow_t,  # [P] od flows at time t
     phi_base,  # [N, M, M] static equal fractions
+    exact: bool = True,
 ):
     """Compute phi[N, M, M] turning fractions for this step.
 
@@ -381,10 +404,18 @@ def turning_fractions_step(
     f = phi_base.dtype
     f32 = jnp.float32
 
+    def seg(vals, seg_ids, num, onehot):
+        # exact-parity keeps segment_sum's accumulation order; the fast
+        # path aggregates with a static one-hot matmul (MXU) because
+        # segment_sum lowers to serialized scatter-adds on TPU
+        if exact:
+            return jax.ops.segment_sum(vals, seg_ids, num_segments=num)
+        return vals @ onehot.astype(vals.dtype)
+
     # P(od | up): od-flow-weighted shares per (node, up) group
     # (path_finder.py:599-615)
     w = od_flow_t[rt.uo_od].astype(f)
-    tot = jax.ops.segment_sum(w, rt.uo_group, num_segments=rt.num_uo_groups)
+    tot = seg(w, rt.uo_group, rt.num_uo_groups, rt.onehot_uo_group)
     tot_g = tot[rt.uo_group]
     cnt_g = rt.uo_group_count[rt.uo_group].astype(f)
     p_uo = jnp.where(tot_g > 0, w / jnp.where(tot_g > 0, tot_g, 1.0), 1.0 / cnt_g)
@@ -402,7 +433,7 @@ def turning_fractions_step(
         100.0,  # virtual exits get high capacity (path_finder.py:577-579)
     ).astype(f)
     norm_d32 = jnp.maximum(dens32 - f32(2.0), f32(0.0)) / f32(10.0 - 2.0)  # :581
-    cap_sum = jax.ops.segment_sum(cap, rt.te_group, num_segments=rt.num_groups)
+    cap_sum = seg(cap, rt.te_group, rt.num_groups, rt.onehot_te_group)
     te_dist = rt.te_dist.astype(f)
     util = (
         rt.alpha.astype(f) * te_dist / (rt.group_dist_sum[rt.te_group].astype(f) + 1e-6)
@@ -410,13 +441,16 @@ def turning_fractions_step(
         - rt.omega.astype(f) * cap / (cap_sum[rt.te_group] + 1e-6)
     )
     z = jnp.exp(-rt.temp.astype(f) * util)
-    zsum = jax.ops.segment_sum(z, rt.te_group, num_segments=rt.num_groups)
+    zsum = seg(z, rt.te_group, rt.num_groups, rt.onehot_te_group)
     p_turn = z / zsum[rt.te_group]
 
     contrib = p_turn * p_uo[rt.te_uo_idx]
-    phi_flat = jax.ops.segment_sum(
-        contrib, rt.te_phi_idx, num_segments=n_nodes * max_deg * max_deg
-    )
+    if exact:
+        phi_flat = jax.ops.segment_sum(
+            contrib, rt.te_phi_idx, num_segments=n_nodes * max_deg * max_deg
+        )
+    else:
+        phi_flat = contrib @ rt.onehot_phi.astype(contrib.dtype)
     phi = phi_flat.reshape(n_nodes, max_deg, max_deg)
 
     # row-normalization guard (check_fractions, path_finder.py:691-715)
