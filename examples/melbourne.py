@@ -40,7 +40,11 @@ if __name__ == "__main__":
     gen = NetworkEnvGenerator()
     data_dir = str(gen._dataset_dir("melbourne"))
     custom = []
-    if os.path.exists(os.path.join(data_dir, "melbourne.csv")):
+    # the sensor->node mapping file is not bundled with the reference
+    # dataset (its own Melbourne.py example fails on this); use the
+    # sensor feed only when both files exist
+    if all(os.path.exists(os.path.join(data_dir, f))
+           for f in ("melbourne.csv", "sensor_node_df.csv")):
         custom = [make_sensor_demand(data_dir)]
     scn = gen.create_network("melbourne", custom_demand_functions=custom)
     print(f"melbourne: {scn.n_nodes} nodes, {scn.n_links} directed links")

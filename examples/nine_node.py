@@ -45,9 +45,11 @@ if __name__ == "__main__":
     scn = build_scenario(adj, params, origin_nodes=[0, 2],
                          destination_nodes=[8, 6],
                          od_flows={(0, 8): 10, (2, 6): 5, (0, 6): 3})
+    # run through t = T so the final cumulative column (read by the
+    # offline metrics) is populated
     final, traj = simulate(scn, scn.engine_params,
                            scn.init_state(jax.random.PRNGKey(0)),
-                           params["simulation_steps"] - 1,
+                           params["simulation_steps"],
                            stochastic=True, record=True)
     jax.block_until_ready(final.density)
     print("OD paths:", dict(scn.path_builder.od_paths))
