@@ -211,12 +211,14 @@ class PedNetEnvCore:
 
     # -- step/reset ------------------------------------------------------------
 
-    def _step_impl(self, st: NetworkState, actions: Dict[str, jnp.ndarray]):
+    def _step_impl(self, st: NetworkState, actions: Dict[str, jnp.ndarray],
+                   ep=None):
+        ep = self.scn.engine_params if ep is None else ep
         st = self._apply_actions(st, actions)
 
         def body(carry, _):
             s, acc = carry
-            s, o = step_fn(self.scn, self.scn.engine_params, s,
+            s, o = step_fn(self.scn, ep, s,
                            stochastic=self.stochastic, record=self.record)
             r = self._rewards(s)
             acc = {k: acc[k] + r[k] for k in r}
@@ -260,4 +262,20 @@ class PedNetEnvCore:
         """vmapped step: states and every action leaf carry a leading batch
         axis.  One XLA program steps all replicas in lockstep."""
         st, obs, rewards, done, _ = self._jit_batch_step(states, actions)
+        return st, obs, rewards, done
+
+    @property
+    def _jit_batch_step_randomized(self):
+        if not hasattr(self, "_jit_batch_step_rand_fn"):
+            self._jit_batch_step_rand_fn = jax.jit(
+                jax.vmap(self._step_impl, in_axes=(0, 0, 0))
+            )
+        return self._jit_batch_step_rand_fn
+
+    def batch_step_randomized(self, states, actions, engine_params):
+        """Batched step with PER-REPLICA EngineParams (domain
+        randomization in-vmap; see pednstream_tpu.randomize)."""
+        st, obs, rewards, done, _ = self._jit_batch_step_randomized(
+            states, actions, engine_params
+        )
         return st, obs, rewards, done

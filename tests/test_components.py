@@ -223,3 +223,28 @@ def test_network_facade():
     )
     with pytest.raises(ValueError):
         net.network_loading(7)
+
+
+def test_randomized_batched_env():
+    """Per-replica domain randomization rides EngineParams in-vmap:
+    replicas with different link incidents and demand levels diverge even
+    in deterministic mode."""
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.randomize import randomize_engine_params_batched
+
+    env = PedNetParallelEnv("butterfly_scC", obs_mode="option2", seed=0,
+                            stochastic=False, history_window=32)
+    B = 4
+    eps = randomize_engine_params_batched(env.scn, jax.random.PRNGKey(3), B)
+    assert np.asarray(eps.k_critical).shape[0] == B
+    # parameters actually differ across replicas
+    kc = np.asarray(eps.free_flow_speed)
+    assert not np.allclose(kc[0], kc[1])
+
+    states, obs = env.core.batch_reset(jax.random.split(jax.random.PRNGKey(0), B))
+    widths = np.tile(env.spec_agents.gate_link_widths[0][None].astype(np.float32), (B, 1))
+    actions = {"gate_2": widths}
+    for _ in range(25):
+        states, obs, rew, done = env.core.batch_step_randomized(states, actions, eps)
+    dens = np.asarray(states.density)
+    assert not np.allclose(dens[0], dens[1])  # different worlds -> different flows
