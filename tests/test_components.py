@@ -248,3 +248,31 @@ def test_randomized_batched_env():
         states, obs, rew, done = env.core.batch_step_randomized(states, actions, eps)
     dens = np.asarray(states.density)
     assert not np.allclose(dens[0], dens[1])  # different worlds -> different flows
+
+
+def test_agent_checkpoint_roundtrip(tmp_path):
+    """PPO/SAC save/load preserves parameters and policies
+    (rl_utils.py:499-763 checkpoint semantics)."""
+    from pednstream_tpu.rl import PPOAgent, SACAgent
+
+    obs = np.random.RandomState(0).rand(20).astype(np.float32)
+
+    a = PPOAgent(obs_dim=20, act_dim=5, features_per_link=4,
+                 net_type="attention", seed=1)
+    act_before = a.take_action(obs, explore=False)
+    a.save(str(tmp_path / "ppo.pkl"))
+    b = PPOAgent(obs_dim=20, act_dim=5, features_per_link=4,
+                 net_type="attention", seed=99)
+    b.load(str(tmp_path / "ppo.pkl"))
+    b.reset_hidden()
+    np.testing.assert_allclose(b.take_action(obs, explore=False), act_before,
+                               rtol=1e-6)
+
+    s = SACAgent(obs_dim=20, act_dim=5, seed=1)
+    act_s = s.take_action(obs, explore=False)
+    s.save(str(tmp_path / "sac.pkl"))
+    s2 = SACAgent(obs_dim=20, act_dim=5, seed=7)
+    s2.load(str(tmp_path / "sac.pkl"))
+    s2.reset_hidden()
+    np.testing.assert_allclose(s2.take_action(obs, explore=False), act_s,
+                               rtol=1e-6)
