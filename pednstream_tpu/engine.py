@@ -144,7 +144,7 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
         # windowed-history mode: bound the N-curve lookback to the ring
         tau = jnp.minimum(tau, scn.H - 6)
 
-    early = ts < scn.free_flow_tau  # link.py:267-269
+    early = ts < ep.free_flow_tau  # link.py:267-269
 
     # free-flow / congestion blended N-curve boundary (link.py:274-288)
     idx = jnp.maximum(0, t - tau)  # = ts + 1 - tau
@@ -240,8 +240,17 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
     )
     num_peds = st.num_peds.astype(f)
 
-    early = (t - scn.tau_shockwave) < 0  # ts + 1 - tau_shockwave < 0
-    cum_out_at = _ring_read(st.cum_out_ring, jnp.maximum(t - scn.tau_shockwave, 0), scn.H)
+    tau_shock = ep.tau_shockwave
+    if scn.H < scn.simulation_steps + 1:
+        # windowed-history mode: the shockwave lookback must stay inside
+        # the ring or the read wraps to a value from ~t-(tau mod H) — far
+        # too recent — silently inflating receiving flows and weakening
+        # jam spillback.  Clamping to H-1 (the oldest retained slot) is
+        # part of the windowed-mode approximation, like the avg-tt tau
+        # clamp above; tests/test_golden_parity.py quantifies the error.
+        tau_shock = jnp.minimum(tau_shock, scn.H - 1)
+    early = (t - tau_shock) < 0  # ts + 1 - tau_shockwave < 0
+    cum_out_at = _ring_read(st.cum_out_ring, jnp.maximum(t - tau_shock, 0), scn.H)
 
     rev_rand = _binom(key, num_peds[rev], 0.9, stochastic,
                       getattr(scn, "binomial_mode", "exact"))  # link.py:382
@@ -383,7 +392,7 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
     # In the reference's free-flow branch (yperman/greenshields, k_eff <=
     # k_critical, no noise) the speed is a Python float, so length/speed
     # divides in f64; elsewhere the f32 speed forces an f32 division.
-    # scn.tt_freeflow32 carries the f64-then-cast value.
+    # ep.tt_freeflow32 carries the f64-then-cast value.
     from .topology import FD_TYPES
 
     kc32 = ep.k_critical.astype(f32)
@@ -393,8 +402,8 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
     tt_f32div = ep.length.astype(f32) / jnp.where(v > 0, v, f32(1.0))
     travel_time = jnp.where(
         v > 0,
-        jnp.where(ff_exact, jnp.asarray(scn.tt_freeflow32), tt_f32div),
-        jnp.asarray(scn.max_travel_time),
+        jnp.where(ff_exact, ep.tt_freeflow32, tt_f32div),
+        ep.max_travel_time,
     )
     link_flow = link_flow_kv(density, speed)
 
@@ -402,7 +411,7 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
     run_sum = st.tt_run_sum + travel_time
     old = _ring_read(st.tt_ring, jnp.maximum(t - W, 0), W)
     run_sum = jnp.where(t >= W, run_sum - old, run_sum)
-    avg_tt = jnp.where(t >= W, run_sum / W, scn.travel_time0)
+    avg_tt = jnp.where(t >= W, run_sum / W, ep.travel_time0)
     tt_ring = st.tt_ring.at[:, t % W].set(travel_time)
 
     return num_peds, density, speed, travel_time, link_flow, avg_tt, run_sum, tt_ring

@@ -54,12 +54,22 @@ def randomize_engine_params(scn, key: jax.Array) -> EngineParams:
     else:
         od_table = ep.od_table
 
+    # derived constants must track the perturbed physics: a replica with a
+    # 0.6x speed incident gets the slower free-flow travel time and the
+    # longer shockwave lookback, keeping speed/travel_time/reward mutually
+    # consistent within the replica (scenario.derive_link_constants)
+    from .scenario import derive_link_constants
+
+    derived = derive_link_constants(
+        ep.length, ffs, k_crit, k_jam, scn.unit_time, xp=jnp
+    )
     return ep.replace(
         k_critical=k_crit.astype(ep.k_critical.dtype),
         k_jam=k_jam.astype(ep.k_jam.dtype),
         free_flow_speed=ffs.astype(ep.free_flow_speed.dtype),
         demand=demand.astype(ep.demand.dtype),
         od_table=od_table.astype(ep.od_table.dtype),
+        **derived,
     )
 
 

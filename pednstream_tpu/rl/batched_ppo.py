@@ -143,12 +143,15 @@ class BatchedPPOTrainer:
         def step(carry, k):
             env_states, obs = carry
             acts, logps, deltas = {}, {}, {}
-            for aid in self.agents:
+            for ai, aid in enumerate(self.agents):
                 o = self._agent_obs(obs, aid)
                 mu, log_std, _ = jax.vmap(
                     lambda x: policies[aid].apply(ts.params[aid], x)
                 )(o)
-                k_a = jax.random.fold_in(k, hash(aid) % (2**31))
+                # fold in the agent's stable position, not hash(aid):
+                # Python string hashes vary per process (PYTHONHASHSEED),
+                # which would make runs irreproducible under fixed seeds
+                k_a = jax.random.fold_in(k, ai)
                 delta = mu + jnp.exp(log_std) * jax.random.normal(k_a, mu.shape)
                 delta = jnp.clip(delta, -self.max_delta, self.max_delta)
                 deltas[aid] = delta
@@ -210,7 +213,7 @@ class BatchedPPOTrainer:
 
         metrics = {}
         params, vparams, opts = dict(ts.params), dict(ts.value_params), dict(ts.opt_states)
-        for aid in self.agents:
+        for ai, aid in enumerate(self.agents):
             policy = self._policy(aid)
             obs_f = traj["obs"][aid].reshape(self.T * self.B, -1)
             act_f = traj["delta"][aid].reshape(self.T * self.B, -1)
@@ -242,8 +245,11 @@ class BatchedPPOTrainer:
             pv = {"p": params[aid], "v": vparams[aid]}
             opt = opts[aid]
             total_loss = 0.0
-            for _ in range(self.epochs):
-                perm = jax.random.permutation(jax.random.fold_in(k_perm, hash(aid) % 97), n)
+            for epoch in range(self.epochs):
+                # distinct permutation per (agent, epoch); stable agent
+                # index so minibatch partitions reproduce across runs
+                k_e = jax.random.fold_in(jax.random.fold_in(k_perm, ai), epoch)
+                perm = jax.random.permutation(k_e, n)
                 for m in range(self.minibatches):
                     idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
                     loss, grads = jax.value_and_grad(loss_fn)(pv, idx)

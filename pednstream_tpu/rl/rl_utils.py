@@ -89,11 +89,15 @@ class RunningNormalizeWrapper:
     """
 
     def __init__(self, env, normalize_obs: bool = True, normalize_reward: bool = True,
-                 gamma: float = 0.99):
+                 gamma: float = 0.99, clip_obs: float = 10.0, clip_reward: float = 10.0):
         self.env = env
         self.normalize_obs_flag = normalize_obs
         self.normalize_reward_flag = normalize_reward
         self.gamma = gamma
+        # +- clip on normalized values (reference rl_utils.py:99-100 clip_obs/
+        # clip_reward defaults) so extreme transients stay bounded
+        self.clip_obs = clip_obs
+        self.clip_reward = clip_reward
         self.obs_rms: Dict[str, RunningMeanStd] = {}
         self.ret_rms: Dict[str, RunningMeanStd] = {}
         self.returns: Dict[str, float] = {}
@@ -122,6 +126,7 @@ class RunningNormalizeWrapper:
             if not self._frozen:
                 self.obs_rms[agent].update(o)
             normed = self.obs_rms[agent].normalize(o)
+            normed = np.clip(normed, -self.clip_obs, self.clip_obs)
             mask = self._gate_mask(agent, o.size)
             out[agent] = np.where(mask.reshape(o.shape), normed, o).astype(np.float32)
         return out
@@ -142,9 +147,10 @@ class RunningNormalizeWrapper:
                     self.ret_rms[agent] = RunningMeanStd(())
                 if not self._frozen:
                     self.ret_rms[agent].update(self.returns[agent])
-                normed_rewards[agent] = float(
-                    r / np.sqrt(self.ret_rms[agent].var + 1e-8)
-                )
+                normed_rewards[agent] = float(np.clip(
+                    r / np.sqrt(self.ret_rms[agent].var + 1e-8),
+                    -self.clip_reward, self.clip_reward,
+                ))
             else:
                 normed_rewards[agent] = r
         return self._norm_obs(obs), normed_rewards, terms, truncs, infos
@@ -153,10 +159,26 @@ class RunningNormalizeWrapper:
         """Stop updating statistics (evaluation mode)."""
         self._frozen = True
 
+    @staticmethod
+    def _rms_to_dict(rms: "RunningMeanStd") -> dict:
+        return {"mean": rms.mean.tolist(), "var": rms.var.tolist(),
+                "count": rms.count}
+
+    @staticmethod
+    def _rms_from_dict(s: dict) -> "RunningMeanStd":
+        rms = RunningMeanStd(np.array(s["mean"]).shape)
+        rms.mean = np.array(s["mean"])
+        rms.var = np.array(s["var"])
+        rms.count = s["count"]
+        return rms
+
     def save_stats(self, path: str):
+        """Persist BOTH obs and return statistics (the reference's
+        get_normalization_stats saves obs_rms and ret_rms together) so a
+        resumed run does not renormalize rewards from scratch."""
         stats = {
-            a: {"mean": rms.mean.tolist(), "var": rms.var.tolist(), "count": rms.count}
-            for a, rms in self.obs_rms.items()
+            "obs_rms": {a: self._rms_to_dict(r) for a, r in self.obs_rms.items()},
+            "ret_rms": {a: self._rms_to_dict(r) for a, r in self.ret_rms.items()},
         }
         with open(path, "w") as f:
             json.dump(stats, f)
@@ -164,12 +186,10 @@ class RunningNormalizeWrapper:
     def load_stats(self, path: str):
         with open(path) as f:
             stats = json.load(f)
-        for a, s in stats.items():
-            rms = RunningMeanStd(np.array(s["mean"]).shape)
-            rms.mean = np.array(s["mean"])
-            rms.var = np.array(s["var"])
-            rms.count = s["count"]
-            self.obs_rms[a] = rms
+        if "obs_rms" not in stats:  # round-1 format: flat obs-only dict
+            stats = {"obs_rms": stats, "ret_rms": {}}
+        self.obs_rms = {a: self._rms_from_dict(s) for a, s in stats["obs_rms"].items()}
+        self.ret_rms = {a: self._rms_from_dict(s) for a, s in stats["ret_rms"].items()}
         self._frozen = True
 
 

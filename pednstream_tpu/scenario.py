@@ -21,6 +21,31 @@ from .state import EngineParams, NetworkState
 from .topology import TopologySpec, build_topology, parse_controllers
 
 
+def derive_link_constants(length, free_flow_speed, k_critical, k_jam,
+                          unit_time, xp=np):
+    """Per-link constants derived from the physical parameters
+    (link.py:61-91).  Used at scenario build time (NumPy, f64 inputs —
+    matches the reference's float math for golden parity) and inside
+    per-replica domain randomization (jnp, traced f32 inputs) so derived
+    quantities track randomized speeds/capacities."""
+    max_tt = length / 0.05  # jam travel-time clamp (link.py:63)
+    tt0 = xp.minimum(length / free_flow_speed, max_tt)  # link.py:83
+    capacity = free_flow_speed * k_critical
+    shockwave = capacity / (k_jam - k_critical)  # link.py:61
+    fftau = xp.round(tt0.astype(xp.float32) / unit_time).astype(xp.int32)
+    tau_shock = xp.round(length / (shockwave * unit_time)).astype(xp.int32)
+    return {
+        "max_travel_time": max_tt.astype(xp.float32),
+        "travel_time0": tt0.astype(xp.float32),
+        # free-flow travel time divided BEFORE the f32 cast: in the
+        # reference's free-flow FD branch the speed stays a Python float
+        # (functions.py:120-121), so length/speed divides in f64
+        "tt_freeflow32": (length / free_flow_speed).astype(xp.float32),
+        "free_flow_tau": fftau,
+        "tau_shockwave": tau_shock,
+    }
+
+
 class Scenario:
     """Static scenario container.
 
@@ -87,24 +112,18 @@ class Scenario:
         self.is_separator = np.asarray(lp.is_separator)
         self.fd_type = np.asarray(lp.fd_type)
 
-        # static per-link derived quantities
-        max_tt = lp.length / 0.05  # jam travel-time clamp (link.py:63)
-        tt0 = np.minimum(lp.length / lp.free_flow_speed, max_tt)  # link.py:83
-        capacity = lp.free_flow_speed * lp.k_critical
-        shockwave = capacity / (lp.k_jam - lp.k_critical)  # link.py:61
-        fftau = np.round(tt0.astype(np.float32) / self.unit_time).astype(np.int32)
-        tau_shock = np.round(lp.length / (shockwave * self.unit_time)).astype(np.int32)
-
-        self.max_travel_time = max_tt.astype(np.float32)
-        self.travel_time0 = tt0.astype(np.float32)
-        # free-flow travel time in FULL f64 then cast: in the reference's
-        # free-flow FD branch the speed stays a Python float (v = self.v_f,
-        # functions.py:120-121), so travel_time = length/speed divides in
-        # f64 before the f32 store — unlike the congested branch where the
-        # f32 speed forces an f32 division
-        self.tt_freeflow32 = (lp.length / lp.free_flow_speed).astype(np.float32)
-        self.free_flow_tau = fftau
-        self.tau_shockwave = tau_shock
+        # static per-link derived quantities (nominal values; the engine
+        # reads the per-replica copies carried in EngineParams so domain
+        # randomization stays self-consistent)
+        derived = derive_link_constants(
+            lp.length, lp.free_flow_speed, lp.k_critical, lp.k_jam,
+            self.unit_time,
+        )
+        self.max_travel_time = derived["max_travel_time"]
+        self.travel_time0 = derived["travel_time0"]
+        self.tt_freeflow32 = derived["tt_freeflow32"]
+        self.free_flow_tau = derived["free_flow_tau"]
+        self.tau_shockwave = derived["tau_shockwave"]
 
         # N-curve history horizon.  The dynamic lookback tau =
         # round(avg_travel_time / unit_time) (link.py:260) is UNBOUNDED in
@@ -235,6 +254,10 @@ def build_scenario(
 
     lp = topo.link_params
     npdt = np.dtype(ftype)
+    unit_time = float(params["unit_time"])
+    derived = derive_link_constants(
+        lp.length, lp.free_flow_speed, lp.k_critical, lp.k_jam, unit_time
+    )
     ep = EngineParams(
         length=np.asarray(lp.length, dtype=npdt),
         width=np.asarray(lp.width, dtype=npdt),
@@ -248,6 +271,11 @@ def build_scenario(
         demand=np.asarray(demand_table, dtype=npdt),
         od_table=np.asarray(od_table, dtype=npdt),
         phi_base=np.asarray(_build_phi_base(topo, ftype)),
+        max_travel_time=derived["max_travel_time"],
+        travel_time0=derived["travel_time0"],
+        tt_freeflow32=derived["tt_freeflow32"],
+        free_flow_tau=derived["free_flow_tau"],
+        tau_shockwave=derived["tau_shockwave"],
     )
 
     return Scenario(

@@ -40,6 +40,17 @@ class EngineParams:
     od_table: jnp.ndarray  # [P, T+1]
     phi_base: jnp.ndarray  # [N, M, M] static equal turning fractions
 
+    # Derived per-link constants (link.py:61-91).  These follow the
+    # *current* physical parameters above, so a replica whose speed or
+    # capacity was randomized sees consistent free-flow travel times and
+    # N-curve lookbacks (not the nominal build-time values).  Recomputed
+    # by pednstream_tpu.randomize whenever the base parameters change.
+    max_travel_time: jnp.ndarray  # [E] f32, jam clamp length/0.05 (link.py:63)
+    travel_time0: jnp.ndarray  # [E] f32, initial travel time (link.py:83)
+    tt_freeflow32: jnp.ndarray  # [E] f32, length/v_f in f64 then cast (functions.py:120-121)
+    free_flow_tau: jnp.ndarray  # [E] i32, round(tt0/dt) (link.py:86)
+    tau_shockwave: jnp.ndarray  # [E] i32, round(L/(w*dt)) (link.py:380)
+
 
 @struct.dataclass
 class NetworkState:
