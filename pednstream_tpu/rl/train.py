@@ -7,9 +7,12 @@ action conversion, per-episode PPO updates, and validation-gated best
 checkpointing.  ``train_off_policy_multi_agent`` is the SAC loop
 (rl/agents/SAC_copy.py:157-310).
 
-``make_dp_train_step`` is the TPU-native batched trainer step: env
-replicas shard across the mesh's ``env`` axis, each device rolls its
-local replicas and gradients reduce with ``pmean`` inside shard_map —
+``make_dp_train_step`` is a minimal sharded policy-gradient step used
+by the multi-chip dryrun: env replicas shard across the mesh's ``env``
+axis via jit + NamedShardings (GSPMD inserts the cross-chip gradient
+reduction automatically — there is no hand-written shard_map/pmean).
+It is deliberately simple (one-step REINFORCE, no value function); the
+full mesh-shardable PPO lives in rl/batched_ppo.py.  Together they are
 the SPMD replacement for the reference's Ray rollout workers
 (train_ppo_rllib.py:62-64).
 """
@@ -219,8 +222,9 @@ def init_train_state(core, key):
 
 
 def make_dp_train_step(core, mesh, axis: str = "env"):
-    """One sharded rollout+update step: local replicas step on each
-    device, gradients pmean over the mesh."""
+    """One sharded one-step REINFORCE update (adv = r - mean r): local
+    replicas step on each device; the replicated-params out_sharding
+    makes GSPMD all-reduce the gradients over the mesh."""
     spec = core.spec
     batch_sh = NamedSharding(mesh, P(axis))
     repl_sh = NamedSharding(mesh, P())
