@@ -72,6 +72,47 @@ def main():
     assert checksum > 0, "engine produced an empty network"
     agg = STEPS * BATCH / min(times)
 
+    # --- scale row: grid_50x50, 9,800 directed links (the BASELINE.json
+    # "melbourne-scale 10k+ links" north star: >= 1e5 LTM steps/s) ---
+    gen_g = NetworkEnvGenerator()
+    data_g = gen_g.load_network_data("grid_50x50")
+    scn_g = build_scenario(
+        data_g["adjacency_matrix"], gen_g.config["params"],
+        gen_g.config["origin_nodes"], gen_g.config["destination_nodes"],
+        history_window=WINDOW, binomial_mode="fast",
+    )
+    ep_g = scn_g.engine_params
+
+    def rollout_g(st):
+        def body(s, _):
+            s, _ = step_fn(scn_g, ep_g, s, stochastic=True, record=False)
+            return s, None
+        return jax.lax.scan(body, st, None, length=STEPS)[0]
+
+    B_G = 32  # 9,800-link state is ~10x melbourne; keep HBM in check
+    run_g = jax.jit(jax.vmap(rollout_g))
+    states_g = jax.vmap(scn_g.init_state)(
+        jax.random.split(jax.random.PRNGKey(0), B_G)
+    )
+    jax.block_until_ready(run_g(states_g).density)
+    times_g = []
+    for i in range(3):
+        states_g = jax.vmap(scn_g.init_state)(
+            jax.random.split(jax.random.PRNGKey(i + 1), B_G)
+        )
+        _np.asarray(states_g.density)
+        t0 = time.time()
+        out_g = run_g(states_g)
+        checksum_g = float(_np.asarray(out_g.num_peds).sum())
+        times_g.append(time.time() - t0)
+    assert checksum_g > 0
+    grid10k = STEPS * B_G / min(times_g)
+    print(
+        f"scale: grid_50x50 (9,800 links) aggregate {grid10k:.0f} env-steps/s "
+        f"at B={B_G} ({grid10k * 9800 / 1e9:.2f}e9 link-updates/s)",
+        file=sys.stderr,
+    )
+
     # --- secondary: single replica, exact full-horizon mode ---
     scn1 = build_scenario(
         data["adjacency_matrix"], gen.config["params"],
@@ -103,6 +144,11 @@ def main():
                 "value": round(agg, 0),
                 "unit": "env-steps/s",
                 "vs_baseline": round(agg / REFERENCE_MELBOURNE_STEPS_PER_S, 1),
+                "extra": {
+                    "grid_50x50_10k_links_env_steps_per_s": round(grid10k, 0),
+                    "grid_50x50_batch": B_G,
+                    "single_replica_melbourne_steps_per_s": round(single, 0),
+                },
             }
         )
     )

@@ -13,6 +13,19 @@ import numpy as np
 import yaml
 
 
+def grid_adjacency(rows: int, cols: int) -> np.ndarray:
+    """4-neighbour grid adjacency (the reference generates its 7x7 grids
+    with data/create_grid.py and ships the result as adj_matrix.npy)."""
+    n = rows * cols
+    adj = np.zeros((n, n), dtype=np.int8)
+    idx = np.arange(n).reshape(rows, cols)
+    right = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1)
+    down = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], axis=1)
+    for a, b in np.concatenate([right, down]):
+        adj[a, b] = adj[b, a] = 1
+    return adj
+
+
 def load_config(config_path: str) -> dict:
     """Load a scenario YAML into the params dict consumed by build_scenario.
 
@@ -45,6 +58,12 @@ def load_config(config_path: str) -> dict:
 
     if "adjacency_matrix" in config["network"]:
         result["adjacency_matrix"] = np.array(config["network"]["adjacency_matrix"])
+    elif "grid" in config["network"]:
+        # extension over the reference loader: large grid scenarios
+        # (e.g. data/grid_50x50) declare ``grid: {rows, cols}`` instead
+        # of embedding a 2500x2500 literal matrix / binary npy
+        g = config["network"]["grid"]
+        result["adjacency_matrix"] = grid_adjacency(int(g["rows"]), int(g["cols"]))
 
     if "od_flows" in config and config["od_flows"]:
         od_flows = {}

@@ -96,8 +96,11 @@ class NetworkEnvGenerator:
         (env_loader.py:81-158).  `verbose` accepted for API parity (the
         reference env passes it; its generator dropped it — a drift bug
         noted in SURVEY §2.2 — here it is simply accepted and unused)."""
-        if self.network_data is None:
+        # reload when asked for a different dataset — a cached config from
+        # a previous name must never masquerade as the requested scenario
+        if self.network_data is None or getattr(self, "_loaded_dataset", None) != dataset:
             self.network_data = self.load_network_data(dataset)
+            self._loaded_dataset = dataset
 
         default_link_params = self.config["params"]["default_link"]
 
@@ -149,8 +152,9 @@ class NetworkEnvGenerator:
     def randomize_network(self, dataset: str, seed: Optional[int] = None,
                           verbose: bool = False) -> Scenario:
         """Randomized scenario (env_loader.py:160-181)."""
-        if self.network_data is None:
+        if self.network_data is None or getattr(self, "_loaded_dataset", None) != dataset:
             self.network_data = self.load_network_data(dataset)
+            self._loaded_dataset = dataset
         if self.config is None:
             self.config = load_config(str(self._dataset_dir(dataset) / "sim_params.yaml"))
         self.generate_random_od_nodes(seed)

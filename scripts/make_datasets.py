@@ -1,238 +1,149 @@
-"""Generate bundled synthetic scenario datasets under data/.
+"""Materialize the bundled scenario datasets under data/ so the repo is
+self-contained (named datasets no longer need the reference mount).
 
-Counterpart of the reference's data/create_grid.py plus its hand-written
-sim_params.yaml files: every synthetic dataset is produced
-programmatically here (grids, corridors, butterfly topologies).  The
-real-world measured networks (delft, melbourne: adjacency, corridor
-distances, node positions, sensor demand) are consumed in place from the
-reference data mount via the generator's dataset search path.
+The synthetic scenarios are re-emitted from the reference's published
+scenario definitions (/root/reference/data/<name>/sim_params.yaml,
+WaimenMak/PedNStream): a dataset IS its parameter set, so loading
+"butterfly_scC" here must mean the same scenario as there.  The YAML is
+semantically round-tripped (parse -> normalized dump), grid adjacencies
+and node positions round-trip through NumPy/JSON.  The real-world
+measured networks (delft, melbourne: surveyed corridor geometry +
+sensor demand) stay on the reference data mount by default; pass
+--realworld to materialize those too.
 
-Run:  python scripts/make_datasets.py
+``grid_50x50`` is new — a 50x50 scale benchmark (2,500 nodes, 9,800
+directed links, the BASELINE.json "melbourne-scale 10k+ links" design
+point) with no reference counterpart; its adjacency is declared as
+``network.grid`` and synthesized at load time (pednstream_tpu.config.
+grid_adjacency) instead of shipping a 2500x2500 matrix.
+
+Run:  python scripts/make_datasets.py [--realworld] [--force]
 """
 
+import json
 import os
+import shutil
 import sys
 
 import numpy as np
 import yaml
 
-ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "data")
+REF = os.environ.get("PEDNSTREAM_REFERENCE_DATA", "/root/reference/data")
 
-
-def grid_adjacency(rows: int, cols: int) -> np.ndarray:
-    n = rows * cols
-    adj = np.zeros((n, n), dtype=int)
-    for r in range(rows):
-        for c in range(cols):
-            i = r * cols + c
-            if c < cols - 1:
-                adj[i, i + 1] = adj[i + 1, i] = 1
-            if r < rows - 1:
-                adj[i, i + cols] = adj[i + cols, i] = 1
-    return adj
-
-
-def chain_adjacency(n: int) -> np.ndarray:
-    adj = np.zeros((n, n), dtype=int)
-    for i in range(n - 1):
-        adj[i, i + 1] = adj[i + 1, i] = 1
-    return adj
-
-
-def butterfly_adjacency() -> np.ndarray:
-    """9-node butterfly: two entry arms -> hub 2 -> three middle corridors
-    -> hub 6 -> two exit arms."""
-    adj = np.zeros((9, 9), dtype=int)
-    pairs = [(0, 2), (1, 2), (2, 3), (2, 4), (2, 5),
-             (3, 6), (4, 6), (5, 6), (6, 7), (6, 8)]
-    for a, b in pairs:
-        adj[a, b] = adj[b, a] = 1
-    return adj
-
-
-def base_sim(steps=600, unit=10, seed=42, **pf):
-    return {
-        "simulation_steps": steps,
-        "unit_time": unit,
-        "assign_flows_type": "classic",
-        "seed": seed,
-        **({"path_finder": pf} if pf else {}),
-    }
-
-
-def base_link(**over):
-    link = {
-        "length": 100, "width": 3, "free_flow_speed": 1.1,
-        "k_critical": 2, "k_jam": 6, "gamma": 0.01,
-        "fd_type": "yperman", "bi_factor": 1, "activity_probability": 0,
-        "speed_noise_std": 0,
-    }
-    link.update(over)
-    return link
-
+SYNTHETIC = [
+    "long_corridor", "small_network", "one_intersection_v0",
+    "nine_intersections", "od_flow_example",
+    "butterfly_scA", "butterfly_scB", "butterfly_scC",
+    "two_coordinators", "45_intersections",
+]
+REALWORLD = ["delft", "melbourne"]
 
 FORCE = "--force" in sys.argv
 
 
-def _resolvable(name: str) -> bool:
-    sys.path.insert(0, os.path.join(os.path.dirname(ROOT)))
-    from pednstream_tpu.generator import _DEFAULT_DATA_ROOTS
-
-    return any(
-        os.path.exists(os.path.join(str(r), name, "sim_params.yaml"))
-        for r in _DEFAULT_DATA_ROOTS
-    )
-
-
-def write(name: str, config: dict):
-    if not FORCE and _resolvable(name):
-        print(f"skip {name}: already resolvable (use --force to overwrite)")
+def materialize(name: str):
+    src = os.path.join(REF, name)
+    dst = os.path.join(OUT, name)
+    if not os.path.isdir(src):
+        print(f"skip {name}: reference dataset not mounted at {src}")
         return
-    d = os.path.join(ROOT, name)
-    os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, "sim_params.yaml"), "w") as f:
-        yaml.safe_dump(config, f, sort_keys=False)
-    print(f"wrote data/{name}/sim_params.yaml")
+    if os.path.exists(os.path.join(dst, "sim_params.yaml")) and not FORCE:
+        print(f"skip {name}: exists (use --force)")
+        return
+    os.makedirs(dst, exist_ok=True)
+
+    with open(os.path.join(src, "sim_params.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    with open(os.path.join(dst, "sim_params.yaml"), "w") as f:
+        f.write(
+            "# Scenario definition re-emitted from the reference dataset\n"
+            f"# (WaimenMak/PedNStream data/{name}/sim_params.yaml) so the\n"
+            "# name loads the same scenario without the reference mount.\n"
+        )
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+    for fname, loader, saver in [
+        ("adj_matrix.npy", np.load,
+         lambda p, a: np.save(p, np.asarray(a))),
+        ("node_positions.json",
+         lambda p: json.load(open(p)),
+         lambda p, d: json.dump(d, open(p, "w"), indent=1)),
+        ("edge_distances.pkl", None, None),  # copied verbatim (binary pickle)
+    ]:
+        sp, dp = os.path.join(src, fname), os.path.join(dst, fname)
+        if not os.path.exists(sp):
+            continue
+        if loader is None:
+            shutil.copyfile(sp, dp)
+        else:
+            saver(dp, loader(sp))
+    # melbourne sensor demand feed
+    for extra in ("melbourne.csv",):
+        sp = os.path.join(src, extra)
+        if os.path.exists(sp):
+            shutil.copyfile(sp, os.path.join(OUT, name, extra))
+    print(f"wrote data/{name}")
 
 
-def demand(origins_cfg: dict) -> dict:
-    return {f"origin_{o}": cfg for o, cfg in origins_cfg.items()}
+def write_grid_50x50():
+    dst = os.path.join(OUT, "grid_50x50")
+    if os.path.exists(os.path.join(dst, "sim_params.yaml")) and not FORCE:
+        print("skip grid_50x50: exists (use --force)")
+        return
+    os.makedirs(dst, exist_ok=True)
+    n = 50 * 50
+    corners = [0, 49, n - 50, n - 1]
+    mids = [25, n - 26]
+    cfg = {
+        "network": {
+            "grid": {"rows": 50, "cols": 50},
+            "origin_nodes": corners,
+            "destination_nodes": mids,
+        },
+        "simulation": {
+            "simulation_steps": 500,
+            "unit_time": 10,
+            "assign_flows_type": "classic",
+            "seed": 42,
+            "path_finder": {"k_paths": 2, "temp": 5, "alpha": 1,
+                            "beta": 0.5, "omega": 0.8},
+        },
+        "default_link": {
+            "length": 50, "width": 4, "free_flow_speed": 1.1,
+            "k_critical": 2, "k_jam": 6, "gamma": 0.01,
+            "speed_noise_std": 0, "fd_type": "yperman", "bi_factor": 1,
+            "activity_probability": 0,
+        },
+        "controllers": {"enabled": True, "nodes": [1275]},  # grid center
+        "demand": {
+            f"origin_{o}": {"pattern": "gaussian_peaks",
+                            "peak_lambda": 40, "base_lambda": 15}
+            for o in corners
+        },
+    }
+    with open(os.path.join(dst, "sim_params.yaml"), "w") as f:
+        f.write(
+            "# 50x50 grid scale benchmark (2,500 nodes / 9,800 directed\n"
+            "# links) — the BASELINE.json 10k-link design point.  No\n"
+            "# reference counterpart (reference grids are 7x7,\n"
+            "# data/create_grid.py); adjacency synthesized at load time.\n"
+        )
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    print("wrote data/grid_50x50")
 
 
 def main():
-    # -- long_corridor: 6-node bidirectional chain ---------------------------
-    write("long_corridor", {
-        "network": {
-            "adjacency_matrix": chain_adjacency(6).tolist(),
-            "origin_nodes": [5, 0],
-            "destination_nodes": [0, 5],
-        },
-        "simulation": base_sim(600, 10, 42, k_paths=1, temp=10, alpha=1,
-                               beta=0.5, omega=0.8),
-        "default_link": base_link(width=4),
-        "controllers": {"enabled": True, "links": ["2-3"]},
-        "demand": demand({
-            0: {"pattern": "gaussian_peaks", "peak_lambda": 25, "base_lambda": 10},
-            5: {"pattern": "sudden_demand", "peak_lambda": 25, "base_lambda": 20},
-        }),
-    })
-
-    # -- small_network: 6 nodes, Y-shaped ------------------------------------
-    adj = np.zeros((6, 6), dtype=int)
-    for a, b in [(0, 2), (1, 2), (2, 3), (3, 4), (3, 5)]:
-        adj[a, b] = adj[b, a] = 1
-    write("small_network", {
-        "network": {"adjacency_matrix": adj.tolist(),
-                    "origin_nodes": [0, 1], "destination_nodes": [4, 5]},
-        "simulation": base_sim(400, 10, 7, k_paths=2, temp=5, alpha=1,
-                               beta=0.5, omega=0.8),
-        "default_link": base_link(),
-        "controllers": {"enabled": True, "nodes": [2]},
-        "demand": demand({
-            0: {"pattern": "gaussian_peaks", "peak_lambda": 20, "base_lambda": 8},
-            1: {"pattern": "constant", "base_lambda": 6},
-        }),
-    })
-
-    # -- one_intersection_v0: 4-arm star -------------------------------------
-    adj = np.zeros((5, 5), dtype=int)
-    for j in range(1, 5):
-        adj[0, j] = adj[j, 0] = 1
-    write("one_intersection_v0", {
-        "network": {"adjacency_matrix": adj.tolist(),
-                    "origin_nodes": [1, 2], "destination_nodes": [3, 4]},
-        "simulation": base_sim(400, 10, 3, k_paths=2, temp=5, alpha=1,
-                               beta=0.5, omega=0.8),
-        "default_link": base_link(length=80),
-        "controllers": {"enabled": True, "nodes": [0]},
-        "demand": demand({
-            1: {"pattern": "gaussian_peaks", "peak_lambda": 25, "base_lambda": 10},
-            2: {"pattern": "gaussian_peaks", "peak_lambda": 15, "base_lambda": 5},
-        }),
-    })
-
-    # -- nine_intersections: 3x3 grid -----------------------------------------
-    write("nine_intersections", {
-        "network": {"adjacency_matrix": grid_adjacency(3, 3).tolist(),
-                    "origin_nodes": [0, 2], "destination_nodes": [6, 8]},
-        "simulation": base_sim(600, 10, 7, k_paths=3, temp=5, alpha=1,
-                               beta=0.5, omega=0.8),
-        "default_link": base_link(),
-        "controllers": {"enabled": True, "nodes": [4]},
-        "demand": demand({
-            0: {"pattern": "gaussian_peaks", "peak_lambda": 20, "base_lambda": 8},
-            2: {"pattern": "sudden_demand", "peak_lambda": 15, "base_lambda": 5},
-        }),
-    })
-
-    # -- od_flow_example: explicit OD split weights ----------------------------
-    write("od_flow_example", {
-        "network": {"adjacency_matrix": grid_adjacency(3, 3).tolist(),
-                    "origin_nodes": [0, 2], "destination_nodes": [6, 8]},
-        "simulation": base_sim(400, 10, 5, k_paths=3, temp=5, alpha=1,
-                               beta=0.5, omega=0.8),
-        "default_link": base_link(),
-        "demand": demand({
-            0: {"pattern": "constant", "base_lambda": 10},
-            2: {"pattern": "constant", "base_lambda": 8},
-        }),
-        "od_flows": {"0_8": 10, "0_6": 3, "2_6": 5, "2_8": 2},
-    })
-
-    # -- butterfly scenarios: controller hub node 2 -----------------------------
-    for name, links_over, act_p in [
-        ("butterfly_scA", {"2_5": {"width": 0.01}, "2_3": {"width": 0.01},
-                           "0_2": {"width": 6}}, 0.1),
-        ("butterfly_scB", {"2_4": {"width": 0.01}, "0_2": {"width": 6}}, 0.1),
-        ("butterfly_scC", {"2_5": {"width": 0.01}, "2_3": {"width": 0.01},
-                           "0_2": {"width": 6}, "4_6": {"length": 90}}, 0.1),
-    ]:
-        write(name, {
-            "network": {"adjacency_matrix": butterfly_adjacency().tolist(),
-                        "origin_nodes": [0, 1], "destination_nodes": [6]},
-            "simulation": base_sim(600, 15, 11, k_paths=5, temp=5, alpha=6,
-                                   beta=2, omega=4, std_dev=0.05),
-            "default_link": base_link(length=60, width=5,
-                                      activity_probability=act_p),
-            "links": links_over,
-            "controllers": {"enabled": True, "nodes": [2]},
-            "demand": demand({
-                0: {"pattern": "sudden_demand", "peak_lambda": 70, "base_lambda": 40},
-                1: {"pattern": "gaussian_peaks", "peak_lambda": 20, "base_lambda": 10},
-            }),
-        })
-
-    # -- two_coordinators: 7x7 grid, two gater hubs ------------------------------
-    write("two_coordinators", {
-        "network": {"adjacency_matrix": grid_adjacency(7, 7).tolist(),
-                    "origin_nodes": [0, 6], "destination_nodes": [42, 48]},
-        "simulation": base_sim(700, 10, 21, k_paths=3, temp=5, alpha=1,
-                               beta=0.5, omega=0.8),
-        "default_link": base_link(length=80),
-        "controllers": {"enabled": True, "nodes": [17, 31]},
-        "demand": demand({
-            0: {"pattern": "gaussian_peaks", "peak_lambda": 30, "base_lambda": 10},
-            6: {"pattern": "gaussian_peaks", "peak_lambda": 25, "base_lambda": 8},
-        }),
-    })
-
-    # -- 45_intersections: 7x7 grid multi-agent control ----------------------------
-    inner = [r * 7 + c for r in range(1, 6) for c in range(1, 6)][:9]
-    write("45_intersections", {
-        "network": {"adjacency_matrix": grid_adjacency(7, 7).tolist(),
-                    "origin_nodes": [0, 6, 42], "destination_nodes": [48, 24]},
-        "simulation": base_sim(700, 10, 13, k_paths=3, temp=5, alpha=1,
-                               beta=0.5, omega=0.8),
-        "default_link": base_link(length=80),
-        "controllers": {"enabled": True, "nodes": inner},
-        "demand": demand({
-            0: {"pattern": "gaussian_peaks", "peak_lambda": 30, "base_lambda": 10},
-            6: {"pattern": "sudden_demand", "peak_lambda": 25, "base_lambda": 8},
-            42: {"pattern": "constant", "base_lambda": 12},
-        }),
-    })
-
-    print("done; delft/melbourne load from the reference data mount")
+    names = list(SYNTHETIC)
+    if "--realworld" in sys.argv:
+        names += REALWORLD
+    for name in names:
+        materialize(name)
+    write_grid_50x50()
+    if "--realworld" not in sys.argv:
+        print("delft/melbourne stay on the reference data mount "
+              "(measured datasets; pass --realworld to materialize)")
 
 
 if __name__ == "__main__":
