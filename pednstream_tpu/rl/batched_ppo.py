@@ -1,22 +1,39 @@
 """TPU-native batched PPO: vectorized rollouts + updates, one XLA program.
 
 The reference scales rollouts with Ray worker processes
-(train_ppo_rllib.py:62-64).  Here B env replicas roll T steps inside a
-single jitted scan (engine + policies fused), GAE is computed over the
-[T, B] batch, and every agent's PPO update runs minibatched over
-replicas — optionally sharded across a TPU mesh with pmean gradient
-reduction.  Independent learners, as in the reference: each agent has
-its own policy/value parameters.
+(train_ppo_rllib.py:62-64) and trains its default attention-LSTM policy
+(PPO_backup.py:597-760,1098-1101) through a per-episode host loop.  Here
+B env replicas roll T steps inside a single jitted scan — engine,
+recurrent policy torsos, and value nets fused — GAE is computed over the
+[T, B] batch, and every agent's PPO update re-forwards full sequences
+through the recurrent torso, minibatched over the replica axis, with
+clipped surrogate + entropy bonus + approximate-KL early stop
+(PPO_backup.py:1247-1389 semantics).  Independent learners, as in the
+reference: each agent has its own policy/value parameters.
+
+Policy families (``net_type``):
+  * ``mlp``       — feedforward (fast smoke-test baseline)
+  * ``attention`` — per-link LSTM + all-to-all link attention for gate
+                    agents (the reference default), flat LSTM for the
+                    separator pseudo-agent (mirrors rl.train.build_agents)
+  * ``lstm``      — flat-observation LSTM for every agent
+
+Recurrent state is carried through the rollout scan and across
+iterations (truncated-BPTT at the rollout boundary); replicas that hit
+the horizon auto-reset state AND hidden carry.  With ``randomize=True``
+every replica simulates its own randomized world (EngineParams drawn by
+pednstream_tpu.randomize) and re-draws it at each episode boundary —
+the batched analog of the reference's per-episode domain randomization
+(env_loader.py:160-181).
 
 Usage:
-    trainer = BatchedPPOTrainer(env.core, num_envs=256, rollout_len=32)
+    trainer = BatchedPPOTrainer(env.core, num_envs=256, rollout_len=32,
+                                net_type="attention", randomize=True)
     state = trainer.init(jax.random.PRNGKey(0))
     for it in range(100):
         state, metrics = trainer.train_iteration(state)
 """
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -28,7 +45,16 @@ from flax import struct
 
 from ..env.agents import FEATURES_PER_LINK
 from ..env.core import PedNetEnvCore
-from .networks import MLPPolicy, MLPValue
+from ..randomize import randomize_engine_params
+from .networks import (
+    AttentionPolicy,
+    AttentionTorso,
+    AttentionValue,
+    LSTMPolicy,
+    LSTMValue,
+    MLPPolicy,
+    MLPValue,
+)
 from .ppo import _gaussian_logprob
 
 
@@ -39,8 +65,18 @@ class TrainerState:
     params: Dict[str, object]
     value_params: Dict[str, object]
     opt_states: Dict[str, object]
+    actor_carry: Dict[str, object]  # [B, ...] recurrent state per agent
+    critic_carry: Dict[str, object]
+    engine_params: object  # batched EngineParams when randomize=True, else None
     key: jax.Array
     iteration: jnp.ndarray
+
+
+def _where_done(done, fresh, cur):
+    return jax.tree_util.tree_map(
+        lambda f, c: jnp.where(done.reshape((-1,) + (1,) * (c.ndim - 1)), f, c),
+        fresh, cur,
+    )
 
 
 class BatchedPPOTrainer:
@@ -57,10 +93,18 @@ class BatchedPPOTrainer:
         minibatches: int = 4,
         max_delta: float = 2.5,
         entropy_coef: float = 1e-3,
+        value_coef: float = 0.5,
+        kl_target: float = 0.02,
         reward_scale: float = 1e-2,
+        net_type: str = "mlp",
+        hidden_dim: int = 64,
+        randomize: bool = False,
         mesh=None,
     ):
+        if num_envs % minibatches:
+            raise ValueError("num_envs must divide evenly into minibatches")
         self.core = core
+        self.scn = core.scn
         self.spec = core.spec
         self.B = num_envs
         self.T = rollout_len
@@ -71,7 +115,12 @@ class BatchedPPOTrainer:
         self.minibatches = minibatches
         self.max_delta = max_delta
         self.entropy_coef = entropy_coef
+        self.value_coef = value_coef
+        self.kl_target = kl_target
         self.reward_scale = reward_scale  # rewards are large negative travel-time sums
+        self.net_type = net_type
+        self.hidden_dim = hidden_dim
+        self.randomize = randomize
         self.mesh = mesh
 
         fpl = FEATURES_PER_LINK[core.obs_mode]
@@ -95,24 +144,79 @@ class BatchedPPOTrainer:
         self.tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr))
         self._train_iter = jax.jit(self._train_iteration_impl)
 
+    # -- network families --------------------------------------------------------
+
+    def _family(self, aid: str) -> str:
+        """Gate agents get the selected family; the separator pseudo-agent
+        gets a flat LSTM under 'attention' (mirrors rl.train.build_agents,
+        reference train_rl.py:70-95)."""
+        if self.net_type == "attention":
+            return "attention" if self.agents[aid]["fpl"] else "lstm"
+        return self.net_type
+
+    def _nets(self, aid: str):
+        fam = self._family(aid)
+        meta = self.agents[aid]
+        if fam == "attention":
+            return (AttentionPolicy(meta["act_dim"], self.hidden_dim),
+                    AttentionValue(meta["act_dim"], self.hidden_dim))
+        if fam == "lstm":
+            return (LSTMPolicy(meta["act_dim"], self.hidden_dim),
+                    LSTMValue(self.hidden_dim))
+        return MLPPolicy(meta["act_dim"]), MLPValue()
+
+    def _init_carry(self, aid: str):
+        fam = self._family(aid)
+        key = jax.random.PRNGKey(0)  # zeros for OptimizedLSTMCell
+        if fam == "attention":
+            return AttentionTorso.initial_carry(
+                key, self.agents[aid]["act_dim"], self.hidden_dim)
+        if fam == "lstm":
+            return LSTMPolicy.initial_carry(key, self.hidden_dim)
+        return jnp.zeros(())
+
+    def _batched_carry(self, aid: str, B: Optional[int] = None):
+        B = B or self.B
+        c = self._init_carry(aid)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), c
+        )
+
+    def _shape_obs(self, aid: str, o: jnp.ndarray) -> jnp.ndarray:
+        """[B, obs_dim] -> [B, L, fpl] for per-link attention torsos."""
+        if self._family(aid) == "attention":
+            meta = self.agents[aid]
+            return o.reshape(o.shape[0], meta["act_dim"], meta["fpl"])
+        return o
+
     # -- setup -----------------------------------------------------------------
 
     def init(self, key: jax.Array) -> TrainerState:
-        key, k_env, *aks = jax.random.split(key, 2 + 2 * len(self.agents))
+        key, k_env, k_rand, *aks = jax.random.split(key, 3 + 2 * len(self.agents))
         env_states, obs = self.core.batch_reset(jax.random.split(k_env, self.B))
-        params, vparams, opts = {}, {}, {}
+        eps = None
+        if self.randomize:
+            eps = jax.vmap(lambda k: randomize_engine_params(self.scn, k))(
+                jax.random.split(k_rand, self.B)
+            )
+        params, vparams, opts, acar, ccar = {}, {}, {}, {}, {}
         for (aid, meta), kp, kv in zip(self.agents.items(),
                                        aks[: len(self.agents)],
                                        aks[len(self.agents):]):
-            policy = MLPPolicy(meta["act_dim"])
-            value = MLPValue()
-            p = policy.init(kp, jnp.zeros(meta["obs_dim"]))
-            v = value.init(kv, jnp.zeros(meta["obs_dim"]))
+            policy, value = self._nets(aid)
+            dummy = self._shape_obs(aid, jnp.zeros((1, meta["obs_dim"])))[0]
+            c0 = self._init_carry(aid)
+            p = policy.init(kp, dummy, c0)
+            v = value.init(kv, dummy, c0)
             params[aid] = p
             vparams[aid] = v
             opts[aid] = self.tx.init({"p": p, "v": v})
+            acar[aid] = self._batched_carry(aid)
+            ccar[aid] = self._batched_carry(aid)
         return TrainerState(env_states=env_states, obs=obs, params=params,
-                            value_params=vparams, opt_states=opts, key=key,
+                            value_params=vparams, opt_states=opts,
+                            actor_carry=acar, critic_carry=ccar,
+                            engine_params=eps, key=key,
                             iteration=jnp.asarray(0))
 
     # -- helpers -----------------------------------------------------------------
@@ -132,68 +236,85 @@ class BatchedPPOTrainer:
         return jnp.clip(cur + delta, meta["low"], meta["high"])
 
     def _policy(self, aid):
-        return MLPPolicy(self.agents[aid]["act_dim"])
+        return self._nets(aid)[0]
 
-    # -- rollout + update ------------------------------------------------------------
+    def _apply_policy(self, aid, params, obs_b, carry_b):
+        policy = self._nets(aid)[0]
+        return jax.vmap(lambda o, c: policy.apply(params, o, c))(obs_b, carry_b)
+
+    def _apply_value(self, aid, vparams, obs_b, carry_b):
+        value = self._nets(aid)[1]
+        return jax.vmap(lambda o, c: value.apply(vparams, o, c))(obs_b, carry_b)
+
+    # -- rollout ------------------------------------------------------------------
+
+    def _env_step(self, env_states, env_actions, eps):
+        if self.randomize:
+            return jax.vmap(self.core._step_impl, in_axes=(0, 0, 0))(
+                env_states, env_actions, eps
+            )
+        return jax.vmap(self.core._step_impl)(env_states, env_actions)
 
     def _rollout(self, ts: TrainerState, key):
-        policies = {aid: self._policy(aid) for aid in self.agents}
-        value_net = MLPValue()
-
         def step(carry, k):
-            env_states, obs = carry
-            acts, logps, deltas = {}, {}, {}
+            env_states, obs, acar, ccar, eps = carry
+            acts, logps, deltas, values, obs_shaped = {}, {}, {}, {}, {}
+            new_acar, new_ccar = {}, {}
             for ai, aid in enumerate(self.agents):
-                o = self._agent_obs(obs, aid)
-                mu, log_std, _ = jax.vmap(
-                    lambda x: policies[aid].apply(ts.params[aid], x)
-                )(o)
-                # fold in the agent's stable position, not hash(aid):
-                # Python string hashes vary per process (PYTHONHASHSEED),
-                # which would make runs irreproducible under fixed seeds
+                o = self._shape_obs(aid, self._agent_obs(obs, aid))
+                obs_shaped[aid] = o
+                mu, log_std, ac2 = self._apply_policy(aid, ts.params[aid], o, acar[aid])
+                v, cc2 = self._apply_value(aid, ts.value_params[aid], o, ccar[aid])
+                new_acar[aid] = ac2
+                new_ccar[aid] = cc2
+                values[aid] = v
+                # stable per-agent stream: fold in the agent index, not
+                # hash(aid) (process-salted, irreproducible)
                 k_a = jax.random.fold_in(k, ai)
                 delta = mu + jnp.exp(log_std) * jax.random.normal(k_a, mu.shape)
                 delta = jnp.clip(delta, -self.max_delta, self.max_delta)
                 deltas[aid] = delta
-                logps[aid] = jax.vmap(_gaussian_logprob)(mu, log_std, delta)
-                acts[aid] = self._absolute(aid, o, delta)
+                logps[aid] = _gaussian_logprob(mu, log_std, delta)
+                acts[aid] = self._absolute(
+                    aid, self._agent_obs(obs, aid), delta
+                )
             env_actions = dict(acts)
-            if "sep" in env_actions and not self.spec.sep_ids:
-                env_actions.pop("sep")
-            new_states, new_obs, rewards, done, _ = jax.vmap(self.core._step_impl)(
-                env_states, env_actions
+            new_states, new_obs, rewards, done, _ = self._env_step(
+                env_states, env_actions, eps
             )
-            # auto-reset finished replicas (episode boundary = horizon end)
+            # auto-reset finished replicas: fresh engine state, fresh
+            # hidden carries, and (randomize mode) a fresh world draw
             reset_keys = jax.vmap(lambda s: jax.random.fold_in(s, 7))(new_states.key)
             fresh = jax.vmap(self.core.scn.init_state)(reset_keys)
-            new_states = jax.tree_util.tree_map(
-                lambda f, c: jnp.where(
-                    done.reshape((-1,) + (1,) * (c.ndim - 1)), f, c
-                ),
-                fresh, new_states,
-            )
+            new_states = _where_done(done, fresh, new_states)
+            for aid in self.agents:
+                fresh_c = self._batched_carry(aid)
+                new_acar[aid] = _where_done(done, fresh_c, new_acar[aid])
+                new_ccar[aid] = _where_done(done, fresh_c, new_ccar[aid])
+            if self.randomize:
+                redraw = jax.vmap(lambda kk: randomize_engine_params(self.scn, kk))(
+                    jax.vmap(lambda s: jax.random.fold_in(s, 13))(new_states.key)
+                )
+                eps = _where_done(done, redraw, eps)
             new_obs = jax.vmap(self.core._observations)(new_states)
-            values = {
-                aid: jax.vmap(
-                    lambda x: value_net.apply(ts.value_params[aid], x)[0]
-                )(self._agent_obs(obs, aid))
-                for aid in self.agents
-            }
             rew = {aid: rewards.get(aid if aid != "sep" else
                                     (self.spec.sep_ids[0] if self.spec.sep_ids else aid),
                                     jnp.zeros(self.B)) for aid in self.agents}
-            out = {"obs": {a: self._agent_obs(obs, a) for a in self.agents},
-                   "delta": deltas, "logp": logps, "value": values,
-                   "reward": rew, "done": done.astype(jnp.float32)}
-            return (new_states, new_obs), out
+            out = {"obs": obs_shaped, "delta": deltas, "logp": logps,
+                   "value": values, "reward": rew,
+                   "done": done.astype(jnp.float32)}
+            return (new_states, new_obs, new_acar, new_ccar, eps), out
 
         keys = jax.random.split(key, self.T)
-        (env_states, obs), traj = jax.lax.scan(step, (ts.env_states, ts.obs), keys)
-        return env_states, obs, traj
+        carry0 = (ts.env_states, ts.obs, ts.actor_carry, ts.critic_carry,
+                  ts.engine_params)
+        (env_states, obs, acar, ccar, eps), traj = jax.lax.scan(step, carry0, keys)
+        return env_states, obs, acar, ccar, eps, traj
+
+    # -- GAE ------------------------------------------------------------------
 
     def _gae(self, rewards, values, dones, last_value):
-        def back(carry, x):
-            gae = carry
+        def back(gae, x):
             r, v, v_next, d = x
             delta = r + self.gamma * v_next * (1 - d) - v
             gae = delta + self.gamma * self.lmbda * (1 - d) * gae
@@ -206,69 +327,129 @@ class BatchedPPOTrainer:
         )
         return adv, adv + values
 
+    # -- update ------------------------------------------------------------------
+
+    def _sequence_forward(self, aid, pv, obs_seq, dones, carry0):
+        """Re-forward [T, mb, ...] sequences through the recurrent torso,
+        resetting hidden state at episode boundaries exactly as the
+        rollout did."""
+        fresh = self._batched_carry(aid, obs_seq.shape[1])
+
+        def body(carries, xs):
+            o_t, d_t = xs
+            ac, cc = carries
+            mu, log_std, ac2 = self._apply_policy(aid, pv["p"], o_t, ac)
+            v, cc2 = self._apply_value(aid, pv["v"], o_t, cc)
+            ac2 = _where_done(d_t, fresh, ac2)
+            cc2 = _where_done(d_t, fresh, cc2)
+            return (ac2, cc2), (mu, log_std, v)
+
+        _, (mu, log_std, v) = jax.lax.scan(body, carry0, (obs_seq, dones))
+        return mu, log_std, v
+
+    def _agent_update(self, aid, pv0, opt0, obs_seq, dones, carry0,
+                      act_seq, old_logp, adv, ret, k_perm):
+        """PPO epochs minibatched over the REPLICA axis (sequences stay
+        whole for the recurrent torsos), with approximate-KL early stop:
+        once |KL| exceeds kl_target, later minibatch updates are no-ops
+        (PPO_backup.py:1345-1350, expressed as masked updates under jit)."""
+
+        def loss_fn(pv, idx):
+            o = obs_seq[:, idx]
+            d = dones[:, idx]
+            c0 = jax.tree_util.tree_map(lambda x: x[idx], carry0)
+            mu, log_std, v = self._sequence_forward(aid, pv, o, d, c0)
+            logp = _gaussian_logprob(mu, log_std, act_seq[:, idx])
+            ratio = jnp.exp(logp - old_logp[:, idx])
+            a = adv[:, idx]
+            s1 = ratio * a
+            s2 = jnp.clip(ratio, 1 - self.eps_clip, 1 + self.eps_clip) * a
+            entropy = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum(-1).mean()
+            v_loss = ((v - ret[:, idx]) ** 2).mean()
+            kl = jnp.mean(old_logp[:, idx] - logp)
+            loss = (-jnp.minimum(s1, s2).mean() - self.entropy_coef * entropy
+                    + self.value_coef * v_loss)
+            return loss, kl
+
+        mb = self.B // self.minibatches
+        pv, opt = pv0, opt0
+        stopped = jnp.asarray(False)
+        total_loss = jnp.asarray(0.0)
+        last_kl = jnp.asarray(0.0)
+        for epoch in range(self.epochs):
+            # distinct permutation per epoch; stable keys so fixed seeds
+            # reproduce across runs
+            k_e = jax.random.fold_in(k_perm, epoch)
+            perm = jax.random.permutation(k_e, self.B)
+            for m in range(self.minibatches):
+                idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
+                (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(pv, idx)
+                updates, opt_new = self.tx.update(grads, opt)
+                pv_new = optax.apply_updates(pv, updates)
+                keep = stopped  # no further updates once KL tripped
+                pv = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(keep, a, b), pv, pv_new)
+                opt = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(keep, a, b), opt, opt_new)
+                total_loss = total_loss + jnp.where(keep, 0.0, loss)
+                last_kl = jnp.where(keep, last_kl, kl)
+                stopped = stopped | (jnp.abs(kl) > self.kl_target)
+        n_upd = self.epochs * self.minibatches
+        return pv, opt, total_loss / n_upd, last_kl
+
     def _train_iteration_impl(self, ts: TrainerState):
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
-        env_states, obs, traj = self._rollout(ts, k_roll)
-        value_net = MLPValue()
+        carry0_a = ts.actor_carry  # rollout-start carries for re-forward
+        env_states, obs, acar, ccar, eps, traj = self._rollout(ts, k_roll)
 
         metrics = {}
         params, vparams, opts = dict(ts.params), dict(ts.value_params), dict(ts.opt_states)
         for ai, aid in enumerate(self.agents):
-            policy = self._policy(aid)
-            obs_f = traj["obs"][aid].reshape(self.T * self.B, -1)
-            act_f = traj["delta"][aid].reshape(self.T * self.B, -1)
-            logp_f = traj["logp"][aid].reshape(-1)
-            last_v = jax.vmap(lambda x: value_net.apply(vparams[aid], x)[0])(
-                self._agent_obs(obs, aid)
-            )
+            # bootstrap value of the post-rollout observation
+            o_last = self._shape_obs(aid, self._agent_obs(obs, aid))
+            last_v, _ = self._apply_value(aid, vparams[aid], o_last, ccar[aid])
+
             adv, ret = self._gae(self.reward_scale * traj["reward"][aid],
                                  traj["value"][aid], traj["done"], last_v)
-            adv_f = adv.reshape(-1)
-            adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
-            ret_f = ret.reshape(-1)
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
 
-            def loss_fn(pv, idx):
-                mu, log_std, _ = jax.vmap(lambda x: policy.apply(pv["p"], x))(obs_f[idx])
-                logp = jax.vmap(_gaussian_logprob)(mu, log_std, act_f[idx])
-                ratio = jnp.exp(logp - logp_f[idx])
-                s1 = ratio * adv_f[idx]
-                s2 = jnp.clip(ratio, 1 - self.eps_clip, 1 + self.eps_clip) * adv_f[idx]
-                entropy = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum(-1).mean()
-                v = jax.vmap(lambda x: value_net.apply(pv["v"], x)[0])(obs_f[idx])
-                v_loss = ((v - ret_f[idx]) ** 2).mean()
-                loss = (-jnp.minimum(s1, s2).mean() - self.entropy_coef * entropy
-                        + 0.5 * v_loss)
-                return loss
-
-            n = self.T * self.B
-            mb = n // self.minibatches
             pv = {"p": params[aid], "v": vparams[aid]}
-            opt = opts[aid]
-            total_loss = 0.0
-            for epoch in range(self.epochs):
-                # distinct permutation per (agent, epoch); stable agent
-                # index so minibatch partitions reproduce across runs
-                k_e = jax.random.fold_in(jax.random.fold_in(k_perm, ai), epoch)
-                perm = jax.random.permutation(k_e, n)
-                for m in range(self.minibatches):
-                    idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
-                    loss, grads = jax.value_and_grad(loss_fn)(pv, idx)
-                    if self.mesh is not None:
-                        grads = jax.tree_util.tree_map(
-                            lambda g: g, grads
-                        )  # grads already global under jit+sharding
-                    updates, opt = self.tx.update(grads, opt)
-                    pv = optax.apply_updates(pv, updates)
-                    total_loss = total_loss + loss
+            carry0 = (carry0_a[aid], ts.critic_carry[aid])
+            pv, opt, loss, kl = self._agent_update(
+                aid, pv, opts[aid], traj["obs"][aid], traj["done"],
+                carry0, traj["delta"][aid], traj["logp"][aid],
+                adv, ret, jax.random.fold_in(k_perm, ai),
+            )
             params[aid], vparams[aid], opts[aid] = pv["p"], pv["v"], opt
-            metrics[f"{aid}/loss"] = total_loss / (self.epochs * self.minibatches)
+            metrics[f"{aid}/loss"] = loss
+            metrics[f"{aid}/kl"] = kl
             metrics[f"{aid}/reward"] = traj["reward"][aid].sum(0).mean()
 
         new_ts = TrainerState(env_states=env_states, obs=obs, params=params,
-                              value_params=vparams, opt_states=opts, key=key,
+                              value_params=vparams, opt_states=opts,
+                              actor_carry=acar, critic_carry=ccar,
+                              engine_params=eps, key=key,
                               iteration=ts.iteration + 1)
         return new_ts, metrics
 
     def train_iteration(self, ts: TrainerState):
         ts, metrics = self._train_iter(ts)
         return ts, {k: float(v) for k, v in metrics.items()}
+
+    # -- persistence ---------------------------------------------------------------
+
+    def save(self, ts: TrainerState, path: str, extra: Optional[dict] = None):
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump({
+                "params": jax.device_get(ts.params),
+                "value_params": jax.device_get(ts.value_params),
+                "config": {
+                    "net_type": self.net_type, "hidden_dim": self.hidden_dim,
+                    "num_envs": self.B, "rollout_len": self.T,
+                    "obs_mode": self.core.obs_mode,
+                    "randomize": self.randomize,
+                    **(extra or {}),
+                },
+            }, f)

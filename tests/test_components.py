@@ -194,6 +194,47 @@ def test_batched_ppo_trainer():
     assert diff > 0
 
 
+def test_batched_ppo_recurrent_randomized():
+    """The reference's default attention-LSTM family trained through the
+    batched TPU path (PPO_backup.py:597-760 via rl/networks.py), with
+    per-replica domain-randomized worlds (env_loader.py:160-424 analog)."""
+    import jax.tree_util as jtu
+
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.batched_ppo import BatchedPPOTrainer
+
+    env = PedNetParallelEnv("butterfly_scC", obs_mode="option2", seed=0,
+                            action_gap=5)
+    tr = BatchedPPOTrainer(env.core, num_envs=8, rollout_len=4,
+                           minibatches=2, epochs=2, net_type="attention",
+                           randomize=True)
+    ts = tr.init(jax.random.PRNGKey(0))
+
+    # every replica simulates its own randomized world
+    ffs = np.asarray(ts.engine_params.free_flow_speed)
+    assert ffs.shape[0] == 8
+    assert not np.allclose(ffs[0], ffs[1])
+    # derived constants track the perturbation per replica
+    tt0 = np.asarray(ts.engine_params.travel_time0)
+    assert not np.allclose(tt0[0], tt0[1])
+
+    # recurrent carry is batched and evolves across iterations
+    c0 = jtu.tree_leaves(ts.actor_carry["gate_2"])[0]
+    assert c0.shape[0] == 8
+    ts1, m1 = tr.train_iteration(ts)
+    c1 = jtu.tree_leaves(ts1.actor_carry["gate_2"])[0]
+    assert float(np.abs(np.asarray(c1)).sum()) > 0  # carry moved off zeros
+    assert np.isfinite(m1["gate_2/loss"]) and np.isfinite(m1["gate_2/kl"])
+
+    ts2, m2 = tr.train_iteration(ts1)
+    diff = jtu.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jtu.tree_map(lambda a, b: a - b, ts1.params["gate_2"], ts2.params["gate_2"]),
+        0.0,
+    )
+    assert diff > 0
+
+
 def test_network_facade():
     """Reference-style OO driving (pednstream_tpu.Network) matches the
     functional engine and enforces sequential stepping."""
