@@ -174,15 +174,26 @@ class PedNetEnvCore:
 
     # -- rewards ---------------------------------------------------------------
 
-    def _rewards(self, st: NetworkState) -> Dict[str, jnp.ndarray]:
+    def _rewards(self, st: NetworkState, ep=None) -> Dict[str, jnp.ndarray]:
         """Gate reward (pz_pednet_env.py:548-581): -(T_fwd + T_rev) per out
         link, -10*(k - k_critical) when shared density > 4, minus
-        10 * mean|k - mean k| variance penalty."""
+        10 * mean|k - mean k| variance penalty.
+
+        Deliberate divergence from the reference: travel time is clamped
+        to the engine's jam clamp ``max_travel_time`` (= length/0.05,
+        link.py:63) before entering the reward.  Near full jam the FD
+        speed underflows to a tiny positive value instead of 0, so raw
+        length/speed can reach ~1e9 (f32; ~1e15 in the reference's f64)
+        and a single near-jammed link would dwarf every other reward
+        signal.  The clamp bounds the per-link penalty at the same value
+        the engine itself uses when speed == 0.
+        """
         scn = self.scn
+        ep = scn.engine_params if ep is None else ep
         rev = scn.reverse_idx
         dens = self._shared_density(st)
-        tt = st.travel_time
-        kc = scn.engine_params.k_critical
+        tt = jnp.minimum(st.travel_time, ep.max_travel_time)
+        kc = ep.k_critical
         rewards: Dict[str, jnp.ndarray] = {}
 
         for i, agent_id in enumerate(self.spec.gate_ids):
@@ -220,11 +231,11 @@ class PedNetEnvCore:
             s, acc = carry
             s, o = step_fn(self.scn, ep, s,
                            stochastic=self.stochastic, record=self.record)
-            r = self._rewards(s)
+            r = self._rewards(s, ep)
             acc = {k: acc[k] + r[k] for k in r}
             return (s, acc), o
 
-        zero_r = {k: jnp.zeros((), jnp.float32) for k in self._rewards(st)}
+        zero_r = {k: jnp.zeros((), jnp.float32) for k in self._rewards(st, ep)}
         # action_gap engine steps per RL step (pz_pednet_env.py:225-247)
         (st, rewards_acc), outs = jax.lax.scan(
             body, (st, zero_r), None, length=self.action_gap

@@ -1,0 +1,184 @@
+"""Train the agent zoo and produce the RL-vs-baselines results table.
+
+Counterpart of the reference's rl/train_rl.py:35-247 (train, then
+evaluate RL vs rule-based vs no-control over randomized runs) and its
+shipped rl/{ppo,sac,...}_agents_<dataset> checkpoint zoos — built the
+TPU way: PPO trains with the batched attention-LSTM trainer (256
+domain-randomized replicas in one XLA program), SAC through the host
+loop, and the checkpoints are exported in the PPOAgent/SACAgent format
+that rl.evaluate loads.
+
+Run:  python scripts/train_zoo.py --dataset butterfly_scC
+      python scripts/train_zoo.py --all          # full zoo (long)
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATASETS = {
+    # dataset -> (action_gap, ppo_iters, sac_episodes)
+    "butterfly_scA": (15, 80, 30),
+    "butterfly_scB": (15, 80, 30),
+    "butterfly_scC": (15, 80, 30),
+    "two_coordinators": (15, 60, 20),
+    "45_intersections": (15, 60, 20),
+}
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "zoo")
+
+
+def train_ppo(dataset: str, action_gap: int, iterations: int,
+              num_envs: int = 256, rollout_len: int = 16, seed: int = 0):
+    import jax
+
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.batched_ppo import BatchedPPOTrainer
+
+    env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
+                            action_gap=action_gap, history_window=64)
+    tr = BatchedPPOTrainer(env.core, num_envs=num_envs, rollout_len=rollout_len,
+                           net_type="attention", randomize=True,
+                           lr=3e-4, epochs=3, minibatches=2,
+                           kl_target=0.05,
+                           # rewards are -(travel-time sums) over action_gap
+                           # engine steps: ~1e4-1e5 per RL step on jammed
+                           # scenarios; scale into a sane value-target range
+                           reward_scale=1e-4)
+    ts = tr.init(jax.random.PRNGKey(seed))
+
+    curve = []
+    t0 = time.time()
+    for i in range(iterations):
+        ts, m = tr.train_iteration(ts)
+        rew = float(sum(v for k, v in m.items() if k.endswith("/reward")))
+        curve.append({"iteration": i, "reward": rew,
+                      **{k: v for k, v in m.items()}})
+        if i % 10 == 0 or i == iterations - 1:
+            print(f"[{dataset}] ppo iter {i}: reward {rew:.0f}", flush=True)
+    train_time = time.time() - t0
+
+    out = os.path.join(ART, f"ppo_agents_{dataset}")
+    os.makedirs(out, exist_ok=True)
+    # export per-agent checkpoints in the PPOAgent.save format so
+    # rl.evaluate's build_agents + load_all_agents pick them up directly
+    # (the trainer and PPOAgent share the same Flax modules)
+    fpl = 4  # option2
+    for aid, meta in tr.agents.items():
+        if aid == "sep":
+            continue
+        with open(os.path.join(out, f"{aid}.pkl"), "wb") as f:
+            pickle.dump({
+                "config": {
+                    "obs_dim": meta["obs_dim"], "act_dim": meta["act_dim"],
+                    "features_per_link": fpl, "net_type": "attention",
+                    "hidden_dim": tr.hidden_dim, "gamma": tr.gamma,
+                    "lmbda": tr.lmbda, "eps_clip": tr.eps_clip,
+                    "epochs": tr.epochs, "kl_target": tr.kl_target,
+                    "max_delta": tr.max_delta,
+                },
+                "actor": jax.device_get(ts.params[aid]),
+                "critic": jax.device_get(ts.value_params[aid]),
+                "episode": iterations,
+            }, f)
+    with open(os.path.join(out, "config.json"), "w") as f:
+        json.dump({"dataset": dataset, "trainer": "BatchedPPOTrainer",
+                   "net_type": "attention", "randomize": True,
+                   "num_envs": num_envs, "rollout_len": rollout_len,
+                   "iterations": iterations, "action_gap": action_gap,
+                   "obs_mode": "option2", "train_time_s": round(train_time, 1),
+                   "engine_steps": num_envs * rollout_len * action_gap * iterations},
+                  f, indent=2)
+    with open(os.path.join(out, "curve.json"), "w") as f:
+        json.dump(curve, f)
+    print(f"[{dataset}] ppo done in {train_time:.0f}s -> {out}", flush=True)
+    return out
+
+
+def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0):
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.rl_utils import RunningNormalizeWrapper, save_all_agents
+    from pednstream_tpu.rl.train import build_agents, train_off_policy_multi_agent
+
+    env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
+                            action_gap=action_gap, history_window=64)
+    wrapped = RunningNormalizeWrapper(env)
+    agents = build_agents(env, algo="sac", seed=seed)
+    t0 = time.time()
+    history = train_off_policy_multi_agent(
+        wrapped, agents, num_episodes=episodes, randomize=True,
+        warmup_steps=100,
+    )
+    out = os.path.join(ART, f"sac_agents_{dataset}")
+    save_all_agents(agents, out, env=wrapped)
+    with open(os.path.join(out, "curve.json"), "w") as f:
+        json.dump(history, f)
+    print(f"[{dataset}] sac done in {time.time()-t0:.0f}s -> {out}", flush=True)
+    return out
+
+
+def evaluate_zoo(dataset: str, action_gap: int, ppo_dir: str,
+                 sac_dir: str = None, with_mpc: bool = False,
+                 num_runs: int = 3):
+    from pednstream_tpu.rl.evaluate import evaluate_agents, summarize
+
+    algos = ["ppo", "rule_based", "no_control"]
+    ckpts = {"ppo": ppo_dir}
+    if sac_dir:
+        algos.insert(1, "sac")
+        ckpts["sac"] = sac_dir
+    out_dir = f"outputs/eval_{dataset}"
+    results = evaluate_agents(dataset, algos, num_runs=num_runs,
+                              output_dir=out_dir, obs_mode="option2",
+                              action_gap=action_gap, checkpoint_dirs=ckpts)
+    if with_mpc:
+        mpc = evaluate_agents(dataset, ["optimization"], num_runs=1,
+                              output_dir=out_dir, obs_mode="option2",
+                              action_gap=action_gap)
+        results.update(mpc)
+    table = summarize(results)
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    with open(os.path.join(out_dir, "table.txt"), "w") as f:
+        f.write(table + "\n")
+    print(f"== {dataset} ==\n{table}", flush=True)
+    return results
+
+
+def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
+        with_mpc: bool = False, ppo_iters: int = None, sac_eps: int = None):
+    action_gap, d_ppo, d_sac = DATASETS[dataset]
+    ppo_dir = train_ppo(dataset, action_gap, ppo_iters or d_ppo)
+    sac_dir = None
+    if not skip_sac:
+        sac_dir = train_sac(dataset, action_gap, sac_eps or d_sac)
+    if not skip_eval:
+        evaluate_zoo(dataset, action_gap, ppo_dir, sac_dir, with_mpc=with_mpc)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default=None, choices=list(DATASETS))
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--skip-sac", action="store_true")
+    p.add_argument("--skip-eval", action="store_true")
+    p.add_argument("--with-mpc", action="store_true")
+    p.add_argument("--ppo-iters", type=int, default=None)
+    p.add_argument("--sac-episodes", type=int, default=None)
+    args = p.parse_args()
+
+    names = list(DATASETS) if args.all else [args.dataset or "butterfly_scC"]
+    for name in names:
+        run(name, skip_sac=args.skip_sac, skip_eval=args.skip_eval,
+            with_mpc=args.with_mpc and name == "butterfly_scC",
+            ppo_iters=args.ppo_iters, sac_eps=args.sac_episodes)
+
+
+if __name__ == "__main__":
+    main()
