@@ -8,7 +8,9 @@ pednstream_tpu.mcp.server.  Works against the local tool functions
 directly (no MCP transport needed) or any Assistant adapter.
 """
 
+import inspect
 import json
+import typing
 from typing import Dict, List, Optional
 
 from . import server
@@ -27,11 +29,71 @@ Workflow guardrails:
 4. Report simulation status honestly, including FAILED states.
 """
 
-TOOL_SPECS = [
-    {"name": name, "description": (fn.__doc__ or "").strip().split("\n")[0],
-     "parameters": {"type": "object", "properties": {}}}
-    for name, fn in server.TOOLS.items()
-]
+# per-parameter descriptions for the tool schemas (the reference client
+# ships real schemas so the LLM knows each tool's arguments)
+_PARAM_DESCRIPTIONS = {
+    "sim_id": "Simulation id returned by create_environment",
+    "config_name": "Dataset/scenario name (e.g. 'butterfly_scC', 'melbourne')",
+    "overrides": "Deep config overrides merged into the scenario params",
+    "data_dir": "Dataset directory override (default: bundled data/)",
+    "steps": "Number of additional steps to advance",
+    "until": "Absolute step to advance to (exclusive with steps)",
+    "include_time_series": "Also write time_series.csv",
+    "time_step": "Simulation step to render",
+    "edge_property": "Link property to color by: density|flow|speed|num_pedestrians",
+    "save_name": "Output image filename",
+    "start_time": "First animation frame step",
+    "end_time": "Last animation frame step",
+    "fps": "Animation frames per second",
+    "config": "Scenario config as a JSON object (nested or flat form)",
+    "cfg": "Scenario config as a JSON object (nested or flat form)",
+    "yaml_text": "Scenario config as YAML text (alternative to config)",
+    "name": "Scenario name to write/read under the dataset directory",
+}
+
+
+def _json_type(annotation) -> dict:
+    if annotation is inspect.Parameter.empty:
+        return {}
+    origin = typing.get_origin(annotation)
+    if origin is typing.Union:  # Optional[...]
+        args = [a for a in typing.get_args(annotation) if a is not type(None)]
+        return _json_type(args[0]) if args else {}
+    if annotation is int:
+        return {"type": "integer"}
+    if annotation is float:
+        return {"type": "number"}
+    if annotation is bool:
+        return {"type": "boolean"}
+    if annotation is str:
+        return {"type": "string"}
+    if origin in (dict,) or annotation in (dict, Dict):
+        return {"type": "object"}
+    if origin in (list,) or annotation in (list, List):
+        return {"type": "array"}
+    return {}
+
+
+def _tool_spec(name: str, fn) -> dict:
+    """Real parameter schema from the tool's signature + annotations."""
+    props, required = {}, []
+    for pname, p in inspect.signature(fn).parameters.items():
+        schema = dict(_json_type(p.annotation))
+        desc = _PARAM_DESCRIPTIONS.get(pname)
+        if desc:
+            schema["description"] = desc
+        props[pname] = schema or {"description": desc or pname}
+        if p.default is inspect.Parameter.empty:
+            required.append(pname)
+    params = {"type": "object", "properties": props}
+    if required:
+        params["required"] = required
+    return {"name": name,
+            "description": (fn.__doc__ or "").strip().split("\n\n")[0],
+            "parameters": params}
+
+
+TOOL_SPECS = [_tool_spec(name, fn) for name, fn in server.TOOLS.items()]
 
 
 class SimulationAgent:

@@ -49,6 +49,7 @@ class SimulationState:
     engine_state: Any = None
     history: list = field(default_factory=list)
     output_dir: Optional[str] = None
+    step_fn: Any = None  # jit-compiled (params, state) -> (state, outputs)
 
     def to_dict(self):
         return {
@@ -140,8 +141,12 @@ def create_environment(config_name: str, overrides: Dict[str, Any] = None,
 
 def run_simulation(sim_id: str, steps: int = None, until: int = None) -> Dict[str, Any]:
     """Advance a simulation, resumable (mcp_server.py:225-277): run
-    ``steps`` more steps or until absolute step ``until``."""
-    from ..engine import step_fn
+    ``steps`` more steps or until absolute step ``until``.
+
+    Stepping goes through a jit-compiled step cached on the simulation
+    (compiled once at the first call), so the interactive service pays
+    dispatch, not retrace, per step."""
+    from ..engine import make_step
 
     sim = _manager.get(sim_id)
     if sim.status in (SimulationStatus.FAILED, SimulationStatus.CANCELLED):
@@ -154,11 +159,13 @@ def run_simulation(sim_id: str, steps: int = None, until: int = None) -> Dict[st
         end = min(sim.current_step + steps, sim.total_steps - 1)
     try:
         sim.status = SimulationStatus.RUNNING
+        if sim.step_fn is None:
+            sim.step_fn = make_step(scn, stochastic=True, record=True)
         st = sim.engine_state
         while sim.current_step < end:
             if sim.status == SimulationStatus.CANCELLED:
                 break
-            st, out = step_fn(scn, scn.engine_params, st, stochastic=True, record=True)
+            st, out = sim.step_fn(scn.engine_params, st)
             sim.history.append(out)
             sim.current_step += 1
         sim.engine_state = st
@@ -332,6 +339,60 @@ def list_config_schema() -> Dict[str, Any]:
     return {"schema": _SCHEMA, "example_yaml": _EXAMPLE_YAML}
 
 
+def normalize_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize a config to the canonical nested (YAML-file) form
+    (role of the reference's _normalize_config, mcp_server.py:564-717,
+    which canonicalizes between its flat loader form and the nested
+    file form).
+
+    Accepts either shape:
+      * nested file form: network/simulation/default_link/links/
+        controllers/demand/od_flows sections
+      * flat loader form: {'params': {simulation_steps, unit_time,
+        default_link, links, ...}, 'origin_nodes': [...], ...}
+    plus stray legacy top-level keys (origin_nodes, adjacency_matrix,
+    simulation_steps at top level), and returns the nested form that
+    upsert_config writes and load_config reads.
+    """
+    from copy import deepcopy
+
+    cfg = deepcopy(cfg) if isinstance(cfg, dict) else {}
+    out: Dict[str, Any] = {}
+
+    params = cfg.get("params") if isinstance(cfg.get("params"), dict) else {}
+    sim_src = cfg.get("simulation") if isinstance(cfg.get("simulation"), dict) else {}
+    net_src = cfg.get("network") if isinstance(cfg.get("network"), dict) else {}
+
+    # network block: explicit section wins; legacy top-level keys fill in
+    network: Dict[str, Any] = dict(net_src)
+    for k in ("origin_nodes", "destination_nodes", "adjacency_matrix"):
+        if k not in network and k in cfg:
+            network[k] = cfg[k]
+    if network:
+        out["network"] = network
+
+    # simulation block from (in order): nested section, flat params,
+    # stray top-level scalars
+    simulation: Dict[str, Any] = dict(sim_src)
+    for k in ("simulation_steps", "unit_time", "assign_flows_type", "seed",
+              "path_finder"):
+        if k not in simulation:
+            if k in params:
+                simulation[k] = params[k]
+            elif k in cfg and not isinstance(cfg.get(k), dict):
+                simulation[k] = cfg[k]
+    if "path_finder" in simulation and not isinstance(simulation["path_finder"], dict):
+        simulation.pop("path_finder")
+    if simulation:
+        out["simulation"] = simulation
+
+    for k in ("default_link", "links", "controllers", "demand", "od_flows"):
+        v = cfg.get(k, params.get(k))
+        if isinstance(v, dict) and (v or k in ("links",)):
+            out[k] = v
+    return out
+
+
 def _validate_struct(cfg: Dict[str, Any]) -> List[Dict[str, str]]:
     errors = []
 
@@ -357,18 +418,51 @@ def _validate_struct(cfg: Dict[str, Any]) -> List[Dict[str, str]]:
     if "default_link" not in cfg:
         err("default_link", "missing section")
     else:
-        for k in ("length", "width", "free_flow_speed", "k_critical", "k_jam"):
-            if k not in cfg["default_link"]:
-                err(f"default_link.{k}", "required")
         dl = cfg["default_link"]
-        if ("k_critical" in dl and "k_jam" in dl and dl["k_jam"] <= dl["k_critical"]):
+        for k in ("length", "width", "free_flow_speed", "k_critical", "k_jam"):
+            if k not in dl:
+                err(f"default_link.{k}", "required")
+            elif not isinstance(dl[k], (int, float)) or dl[k] <= 0:
+                err(f"default_link.{k}", "must be a positive number")
+        if ("k_critical" in dl and "k_jam" in dl
+                and isinstance(dl["k_jam"], (int, float))
+                and isinstance(dl["k_critical"], (int, float))
+                and dl["k_jam"] <= dl["k_critical"]):
             err("default_link.k_jam", "must exceed k_critical")
+
+    key_re = re.compile(r"^\d+_\d+$")
+    links = cfg.get("links")
+    if links is not None:
+        if not isinstance(links, dict):
+            err("links", "must be a map of 'u_v' -> overrides")
+        else:
+            for lk, lconf in links.items():
+                if not key_re.match(str(lk)):
+                    err(f"links.{lk}", "key should be 'u_v' (integer node ids)")
+                if not isinstance(lconf, dict):
+                    err(f"links.{lk}", "link override must be an object")
+    of = cfg.get("od_flows")
+    if of is not None:
+        if not isinstance(of, dict):
+            err("od_flows", "must be a map of 'o_d' -> weight")
+        else:
+            for k, v in of.items():
+                if not key_re.match(str(k)):
+                    err(f"od_flows.{k}", "key should be 'o_d' (integer node ids)")
+                if not isinstance(v, (int, float, list)) or (
+                        isinstance(v, (int, float)) and v < 0):
+                    err(f"od_flows.{k}", "must be a non-negative number or array")
+    sim = cfg.get("simulation", {})
+    if isinstance(sim, dict) and "simulation_steps" in sim:
+        ss = sim["simulation_steps"]
+        if not isinstance(ss, int) or ss <= 0:
+            err("simulation.simulation_steps", "must be a positive integer")
     return errors
 
 
 def validate_config(config: Dict[str, Any] = None, yaml_text: str = None) -> Dict[str, Any]:
-    """Validate a scenario config dict or YAML text
-    (mcp_server.py:792-829)."""
+    """Validate a scenario config dict or YAML text, after legacy-key
+    normalization (mcp_server.py:564-717,792-829)."""
     import yaml as _yaml
 
     if config is None and yaml_text is None:
@@ -378,8 +472,9 @@ def validate_config(config: Dict[str, Any] = None, yaml_text: str = None) -> Dic
             config = _yaml.safe_load(yaml_text)
         except Exception as e:
             return {"valid": False, "errors": [{"path": "", "message": f"YAML parse: {e}"}]}
-    errors = _validate_struct(config or {})
-    return {"valid": not errors, "errors": errors}
+    config = normalize_config(config or {})
+    errors = _validate_struct(config)
+    return {"valid": not errors, "errors": errors, "normalized": config}
 
 
 def _sanitize_name(name: str) -> str:
@@ -395,8 +490,7 @@ def upsert_config(name: str, config: Dict[str, Any] = None, yaml_text: str = Non
     result = validate_config(config, yaml_text)
     if not result["valid"]:
         return {"saved": False, **result}
-    if config is None:
-        config = _yaml.safe_load(yaml_text)
+    config = result["normalized"]  # write the canonical nested form
     name = _sanitize_name(name)
     d = Path(data_dir) / name
     d.mkdir(parents=True, exist_ok=True)
@@ -435,6 +529,7 @@ TOOLS = {
     "list_simulations": list_simulations,
     "cancel_simulation": cancel_simulation,
     "list_config_schema": list_config_schema,
+    "normalize_config": normalize_config,
     "validate_config": validate_config,
     "upsert_config": upsert_config,
     "read_config": read_config,

@@ -105,6 +105,7 @@ class NetworkVisualizer:
                                 with_colorbar: bool = True, set_title: bool = True,
                                 figsize=(10, 8), ax=None, save_path: Optional[str] = None):
         import matplotlib.pyplot as plt
+        import matplotlib
         from matplotlib import cm, colors as mcolors
         from matplotlib.patches import FancyArrowPatch
 
@@ -115,7 +116,7 @@ class NetworkVisualizer:
             fig = ax.figure
         prop = "link_flow" if edge_property == "flow" else edge_property
         vmin, vmax = self._PROP_RANGES.get(prop, (0.0, 1.0))
-        cmap = cm.get_cmap("RdYlGn_r")
+        cmap = matplotlib.colormaps["RdYlGn_r"]
         norm = mcolors.Normalize(vmin=vmin, vmax=vmax)
 
         # nodes
@@ -156,6 +157,7 @@ class NetworkVisualizer:
                         interval: int = 100, edge_property: str = "density",
                         tag: bool = False, vis_actions: bool = False, figsize=(10, 8)):
         import matplotlib.pyplot as plt
+        import matplotlib
         from matplotlib import cm, colors as mcolors
         from matplotlib.animation import FuncAnimation
         from matplotlib.patches import FancyArrowPatch
@@ -167,7 +169,7 @@ class NetworkVisualizer:
                 max(len(self._series(k, prop)) - 1 for k in self.link_data),
             )
         vmin, vmax = self._PROP_RANGES.get(prop, (0.0, 1.0))
-        cmap = cm.get_cmap("RdYlGn_r")
+        cmap = matplotlib.colormaps["RdYlGn_r"]
         norm = mcolors.Normalize(vmin=vmin, vmax=vmax)
 
         fig, ax = plt.subplots(figsize=figsize)
@@ -277,11 +279,12 @@ class NetworkVisualizer:
             raise ImportError(
                 "folium is not installed; map rendering needs `pip install folium`"
             ) from e
+        import matplotlib
         from matplotlib import cm, colors as mcolors
 
         prop = "link_flow" if edge_property == "flow" else edge_property
         vmin, vmax = self._PROP_RANGES.get(prop, (0.0, 1.0))
-        cmap = cm.get_cmap("RdYlGn_r")
+        cmap = matplotlib.colormaps["RdYlGn_r"]
         norm = mcolors.Normalize(vmin=vmin, vmax=vmax)
         lats = [self.pos[str(n)][1] for (u, v) in self.edges for n in (u, v)]
         lons = [self.pos[str(n)][0] for (u, v) in self.edges for n in (u, v)]
