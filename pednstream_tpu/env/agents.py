@@ -100,6 +100,20 @@ def build_agent_spec(scn: Scenario, min_sep_width: float = 1.5) -> AgentSpec:
     )
 
 
+def controlled_links_adjacency(scn: Scenario, links: np.ndarray) -> np.ndarray:
+    """Adjacency over a gater's controlled links for the GAT policy
+    family: links are adjacent when they share an endpoint node (for the
+    out-links of one gater node this is fully connected — the same graph
+    the reference's DenseGAT effectively sees), with self-loops."""
+    nodes = scn.topo.link_nodes[np.asarray(links)]  # [L, 2] (u, v)
+    L = len(links)
+    adj = np.zeros((L, L), dtype=np.float32)
+    for i in range(L):
+        for j in range(L):
+            adj[i, j] = float(bool(set(nodes[i]) & set(nodes[j])) or i == j)
+    return adj
+
+
 FEATURES_PER_LINK = {  # rl/builders.py:49-58
     "option1": 3,
     "option2": 4,

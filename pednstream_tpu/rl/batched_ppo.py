@@ -148,10 +148,10 @@ class BatchedPPOTrainer:
 
     def _family(self, aid: str) -> str:
         """Gate agents get the selected family; the separator pseudo-agent
-        gets a flat LSTM under 'attention' (mirrors rl.train.build_agents,
-        reference train_rl.py:70-95)."""
-        if self.net_type == "attention":
-            return "attention" if self.agents[aid]["fpl"] else "lstm"
+        gets a flat LSTM under per-link families (mirrors
+        rl.train.build_agents, reference train_rl.py:70-95)."""
+        if self.net_type in ("attention", "udlstm"):
+            return self.net_type if self.agents[aid]["fpl"] else "lstm"
         return self.net_type
 
     def _nets(self, aid: str):
@@ -160,6 +160,11 @@ class BatchedPPOTrainer:
         if fam == "attention":
             return (AttentionPolicy(meta["act_dim"], self.hidden_dim),
                     AttentionValue(meta["act_dim"], self.hidden_dim))
+        if fam == "udlstm":
+            from .networks import UDLSTMPolicy, UDLSTMValue
+
+            return (UDLSTMPolicy(meta["act_dim"], self.hidden_dim),
+                    UDLSTMValue(meta["act_dim"], self.hidden_dim))
         if fam == "lstm":
             return (LSTMPolicy(meta["act_dim"], self.hidden_dim),
                     LSTMValue(self.hidden_dim))
@@ -168,7 +173,7 @@ class BatchedPPOTrainer:
     def _init_carry(self, aid: str):
         fam = self._family(aid)
         key = jax.random.PRNGKey(0)  # zeros for OptimizedLSTMCell
-        if fam == "attention":
+        if fam in ("attention", "udlstm"):
             return AttentionTorso.initial_carry(
                 key, self.agents[aid]["act_dim"], self.hidden_dim)
         if fam == "lstm":
@@ -183,8 +188,8 @@ class BatchedPPOTrainer:
         )
 
     def _shape_obs(self, aid: str, o: jnp.ndarray) -> jnp.ndarray:
-        """[B, obs_dim] -> [B, L, fpl] for per-link attention torsos."""
-        if self._family(aid) == "attention":
+        """[B, obs_dim] -> [B, L, fpl] for per-link torsos."""
+        if self._family(aid) in ("attention", "udlstm"):
             meta = self.agents[aid]
             return o.reshape(o.shape[0], meta["act_dim"], meta["fpl"])
         return o

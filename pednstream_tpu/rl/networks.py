@@ -171,6 +171,67 @@ class MLPValue(nn.Module):
         return nn.Dense(1)(x)[0], carry
 
 
+class UDLSTMTorso(nn.Module):
+    """Per-link shared LSTM + upstream/downstream sum-minus-self
+    aggregation (PPO_backup.py:419-596): each link's features are
+    combined with the sum of every OTHER link's features, so a link's
+    action sees the aggregate up/downstream context without pairwise
+    attention."""
+
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, obs_links: jnp.ndarray, carry):  # [L, F]
+        cell = nn.OptimizedLSTMCell(self.hidden_dim)
+        new_carry, h = jax.vmap(cell)(carry, obs_links)  # shared cell over links
+        link_f = nn.Dense(self.hidden_dim)(h)  # [L, H]
+        others = link_f.sum(axis=0, keepdims=True) - link_f  # sum of OTHER links
+        ud = nn.Dense(self.hidden_dim)(
+            jnp.concatenate([link_f, others], axis=-1)
+        )  # [L, H]
+        return ud, new_carry
+
+    @staticmethod
+    def initial_carry(key, num_links: int, hidden_dim: int = 64):
+        cell = nn.OptimizedLSTMCell(hidden_dim)
+        return cell.initialize_carry(key, (num_links, hidden_dim))
+
+
+class UDLSTMPolicy(nn.Module):
+    """UD-LSTM actor (PPO_backup.py:419-521): shared latent layer over
+    the flattened link features for cross-link action coordination,
+    per-link mean/std heads with state-dependent softplus std."""
+
+    num_links: int
+    hidden_dim: int = 64
+    min_std: float = 1e-3
+    max_std: float = 10.0
+
+    @nn.compact
+    def __call__(self, obs_links: jnp.ndarray, carry):
+        ud, new_carry = UDLSTMTorso(self.hidden_dim)(obs_links, carry)
+        shared = nn.Dense(self.num_links * self.hidden_dim)(ud.reshape(-1))
+        z = nn.relu(shared.reshape(self.num_links, self.hidden_dim))
+        mu = nn.Dense(1)(z)[:, 0]  # [L]
+        std = jnp.clip(jax.nn.softplus(nn.Dense(1)(z)[:, 0]),
+                       self.min_std, self.max_std)
+        return mu, jnp.log(std), new_carry
+
+
+class UDLSTMValue(nn.Module):
+    """UD-LSTM critic (PPO_backup.py:523-596): mean-pool the per-link
+    UD features, elu, scalar head."""
+
+    num_links: int
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, obs_links: jnp.ndarray, carry):
+        ud, new_carry = UDLSTMTorso(self.hidden_dim)(obs_links, carry)
+        g = nn.elu(ud.mean(axis=0))
+        return nn.Dense(1)(g)[0], new_carry
+
+
 class GATLayer(nn.Module):
     """Dense graph-attention layer (the DenseGATConv role in the
     reference's GAT-LSTM family, PPO_backup.py:126-353): learned

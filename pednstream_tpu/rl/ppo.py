@@ -53,6 +53,7 @@ class PPOAgent:
         noise_scale: float = 0.3,
         noise_decay_steps: int = 200,
         stack_size: int = 1,
+        adj: Optional[np.ndarray] = None,
         seed: int = 0,
     ):
         self.obs_dim = obs_dim
@@ -84,6 +85,11 @@ class PPOAgent:
             self.num_links = obs_dim // features_per_link
             self.actor = nets.GATLSTMPolicy(self.num_links, hidden_dim)
             self.critic = nets.GATLSTMValue(self.num_links, hidden_dim)
+        elif net_type == "udlstm":
+            assert features_per_link, "udlstm nets need features_per_link"
+            self.num_links = obs_dim // features_per_link
+            self.actor = nets.UDLSTMPolicy(self.num_links, hidden_dim)
+            self.critic = nets.UDLSTMValue(self.num_links, hidden_dim)
         elif net_type == "lstm":
             self.num_links = None
             self.actor = nets.LSTMPolicy(act_dim, hidden_dim)
@@ -98,6 +104,16 @@ class PPOAgent:
             self.critic = nets.MLPValue()
         else:
             raise ValueError(f"unknown net_type {net_type}")
+
+        # controlled-links adjacency for the GAT family: by default the
+        # links a gater controls all leave one node, so fully-connected
+        # is the faithful graph; callers may pass a sparser mask (e.g.
+        # shared-endpoint adjacency from env.agents.controlled_links_adjacency)
+        self.adj = None
+        if net_type == "gat":
+            self.adj = (jnp.asarray(adj, jnp.float32) if adj is not None
+                        else jnp.ones((self.num_links, self.num_links),
+                                      jnp.float32))
 
         k1, k2, self._key = jax.random.split(self._key, 3)
         dummy = self._shape_obs(np.zeros(self._raw_obs_shape(), np.float32))
@@ -129,13 +145,13 @@ class PPOAgent:
 
     def _shape_obs(self, obs):
         obs = jnp.asarray(obs, jnp.float32)
-        if self.net_type in ("attention", "gat"):
+        if self.net_type in ("attention", "gat", "udlstm"):
             return obs.reshape(self.num_links, self.features_per_link)
         return obs
 
     def _initial_carry(self, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
-        if self.net_type in ("attention", "gat"):
+        if self.net_type in ("attention", "gat", "udlstm"):
             return nets.AttentionTorso.initial_carry(key, self.num_links, self.hidden_dim)
         if self.net_type == "lstm":
             return nets.LSTMPolicy.initial_carry(key, self.hidden_dim)
@@ -148,6 +164,8 @@ class PPOAgent:
     # -- acting ------------------------------------------------------------------
 
     def _forward(self, actor_params, obs, carry):
+        if self.net_type == "gat":
+            return self.actor.apply(actor_params, obs, carry, self.adj)
         return self.actor.apply(actor_params, obs, carry)
 
     def take_action(self, obs, explore: bool = True):
@@ -195,8 +213,12 @@ class PPOAgent:
 
         def body(carries, o):
             ac, cc = carries
-            mu, log_std, ac = self.actor.apply(actor_params, o, ac)
-            v, cc = self.critic.apply(critic_params, o, cc)
+            if self.net_type == "gat":
+                mu, log_std, ac = self.actor.apply(actor_params, o, ac, self.adj)
+                v, cc = self.critic.apply(critic_params, o, cc, self.adj)
+            else:
+                mu, log_std, ac = self.actor.apply(actor_params, o, ac)
+                v, cc = self.critic.apply(critic_params, o, cc)
             return (ac, cc), (mu, log_std, v)
 
         _, (mu, log_std, v) = jax.lax.scan(body, carry0, obs_seq)

@@ -38,7 +38,7 @@ from .sac import SACAgent
 
 def build_agents(env, algo: str = "ppo", net_type: str = "attention",
                  seed: int = 0, **kwargs) -> Dict[str, object]:
-    from ..env.agents import FEATURES_PER_LINK
+    from ..env.agents import FEATURES_PER_LINK, controlled_links_adjacency
 
     fpl = FEATURES_PER_LINK[env.obs_mode]
     agents: Dict[str, object] = {}
@@ -49,12 +49,18 @@ def build_agents(env, algo: str = "ppo", net_type: str = "attention",
         act_dim = int(np.prod(space.shape))
         obs_dim = int(np.prod(obs_space.shape))
         if algo == "ppo":
+            extra = dict(kwargs)
+            if net_type == "gat" and agent_id.startswith("gate"):
+                gi = spec.gate_ids.index(agent_id)
+                extra["adj"] = controlled_links_adjacency(
+                    env.scn, spec.gate_links[gi]
+                )
             agents[agent_id] = PPOAgent(
                 obs_dim=obs_dim, act_dim=act_dim,
                 features_per_link=fpl if agent_id.startswith("gate") else None,
                 net_type=net_type if agent_id.startswith("gate") else "lstm",
                 action_low=space.low, action_high=space.high,
-                seed=seed + i, **kwargs,
+                seed=seed + i, **extra,
             )
         elif algo == "sac":
             agents[agent_id] = SACAgent(
@@ -333,7 +339,8 @@ def main():
     parser.add_argument("--dataset", default="butterfly_scC")
     parser.add_argument("--algo", default="ppo", choices=["ppo", "sac"])
     parser.add_argument("--net", default="attention",
-                        choices=["attention", "lstm", "stacked", "mlp"])
+                        choices=["attention", "lstm", "stacked", "mlp",
+                                 "gat", "udlstm"])
     parser.add_argument("--episodes", type=int, default=100)
     parser.add_argument("--obs-mode", default="option2")
     parser.add_argument("--action-gap", type=int, default=15)

@@ -317,3 +317,63 @@ def test_agent_checkpoint_roundtrip(tmp_path):
     s2.reset_hidden()
     np.testing.assert_allclose(s2.take_action(obs, explore=False), act_s,
                                rtol=1e-6)
+
+
+def test_udlstm_and_gat_policy_families():
+    """The two remaining reference families: UD-LSTM
+    (PPO_backup.py:419-596) and GAT-LSTM with a real controlled-links
+    adjacency (PPO_backup.py:126-353) — take_action + update smoke."""
+    from pednstream_tpu.rl import PPOAgent
+
+    rng = np.random.RandomState(0)
+    for net, kw in [("udlstm", {}),
+                    ("gat", {"adj": np.array([[1, 1, 0, 0, 0],
+                                              [1, 1, 1, 0, 0],
+                                              [0, 1, 1, 1, 0],
+                                              [0, 0, 1, 1, 1],
+                                              [0, 0, 0, 1, 1]], np.float32)})]:
+        a = PPOAgent(obs_dim=20, act_dim=5, features_per_link=4,
+                     net_type=net, epochs=2, seed=3, **kw)
+        obs = rng.rand(20).astype(np.float32)
+        d1 = a.take_action(obs, explore=False)
+        assert d1.shape == (5,) and np.all(np.isfinite(d1))
+        # recurrent: same obs, evolved hidden -> different output
+        d2 = a.take_action(obs, explore=False)
+        assert not np.allclose(d1, d2), net
+        for t in range(6):
+            o = rng.rand(20).astype(np.float32)
+            a.store_transition(o, a.take_action(o), -1.0, t == 5)
+        m = a.update()
+        assert np.isfinite(m["actor_loss"]) and np.isfinite(m["critic_loss"]), net
+
+    # the GAT adjacency must actually mask attention: different adj,
+    # same params -> different action
+    base = PPOAgent(obs_dim=20, act_dim=5, features_per_link=4,
+                    net_type="gat", seed=3)
+    masked = PPOAgent(obs_dim=20, act_dim=5, features_per_link=4,
+                      net_type="gat", seed=3,
+                      adj=np.eye(5, dtype=np.float32))
+    masked.actor_params = base.actor_params
+    obs = rng.rand(20).astype(np.float32)
+    assert not np.allclose(base.take_action(obs, explore=False),
+                           masked.take_action(obs, explore=False))
+
+
+def test_build_agents_gat_adjacency_wired():
+    """build_agents passes the controlled-links adjacency to GAT gaters
+    (was accepted but never supplied in round 1)."""
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.train import build_agents
+
+    env = PedNetParallelEnv("butterfly_scC", obs_mode="option2", seed=0,
+                            action_gap=10)
+    agents = build_agents(env, algo="ppo", net_type="gat")
+    gate = agents["gate_2"]
+    assert gate.adj is not None
+    L = gate.act_dim
+    assert gate.adj.shape == (L, L)
+    # all controlled links leave node 2, so they all share an endpoint
+    assert np.all(np.asarray(gate.adj) == 1.0)
+    obs, _ = env.reset()
+    d = gate.take_action(obs["gate_2"], explore=False)
+    assert d.shape == (L,) and np.all(np.isfinite(d))
