@@ -111,7 +111,53 @@ def _binom(key, n, p, stochastic: bool, mode: str = "exact"):
     return jnp.where(nf <= K, small, gauss)
 
 
-def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic):
+def _lookback_state(scn, ep: EngineParams, st: NetworkState, t):
+    """Shared per-step lookback quantities: the dynamic N-curve tau
+    (link.py:260, windowed-mode clamped), the diffusion coefficients
+    (link.py:199-214), and the shockwave lookback (link.py:380,
+    windowed-mode clamped) — used by both the XLA one-hot path and the
+    fused Pallas path."""
+    f32 = jnp.float32
+    windowed = scn.H < scn.simulation_steps + 1
+    avg_tt = st.avg_tt
+    tau = jnp.round(avg_tt / scn.unit_time).astype(jnp.int32)  # link.py:260
+    if windowed:
+        # windowed-history mode: bound the N-curve lookback to the ring
+        tau = jnp.minimum(tau, scn.H - 6)
+    F = f32(1.0) / (f32(1.0) + ep.gamma.astype(f32) * avg_tt)
+    one_m_f = f32(1.0) - F
+    coefs = jnp.stack([F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=1)
+    tau_shock = ep.tau_shockwave
+    if windowed:
+        # the shockwave lookback must stay inside the ring or the read
+        # wraps to a value from ~t-(tau mod H) — far too recent —
+        # silently inflating receiving flows and weakening jam
+        # spillback.  Clamping to H-1 (the oldest retained slot) is part
+        # of the windowed-mode approximation, like the avg-tt tau clamp;
+        # tests/test_golden_parity.py quantifies the error.
+        tau_shock = jnp.minimum(tau_shock, scn.H - 1)
+    return tau, coefs, tau_shock
+
+
+def _fused_hist(scn, ep, st, t):
+    """All three ring reductions in one Pallas pass (ops/ncurve.py)."""
+    from .ops import fused_history_reads
+
+    tau, coefs, tau_shock = _lookback_state(scn, ep, st, t)
+    idx_ci = jnp.maximum(0, t - tau)  # = ts + 1 - tau (link.py:274-288)
+    base = t - 1 - tau  # diffusion lag base (link.py:210-212)
+    idx_co = jnp.maximum(t - tau_shock, 0)
+    ci, co, diff = fused_history_reads(
+        st.cum_in_ring, st.cum_out_ring, st.inflow_ring,
+        idx_ci, idx_co, base, coefs.astype(st.inflow_ring.dtype), scn.H,
+        interpret=getattr(scn, "pallas_interpret", False),
+    )
+    return {"tau": tau, "tau_shock": tau_shock, "ci": ci, "co": co,
+            "diff": diff}
+
+
+def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
+                   hist=None):
     """Vectorized Link.cal_sending_flow(t-1) over all directed links
     (link.py:216-370).
 
@@ -139,16 +185,22 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
     own_density32 = st.density
 
     avg_tt = st.avg_tt  # float32, value at ts
-    tau = jnp.round(avg_tt / dt).astype(jnp.int32)  # link.py:260
-    if scn.H < scn.simulation_steps + 1:
-        # windowed-history mode: bound the N-curve lookback to the ring
-        tau = jnp.minimum(tau, scn.H - 6)
+    if hist is not None:
+        tau = hist["tau"]
+    else:
+        tau = jnp.round(avg_tt / dt).astype(jnp.int32)  # link.py:260
+        if scn.H < scn.simulation_steps + 1:
+            # windowed-history mode: bound the N-curve lookback to the ring
+            tau = jnp.minimum(tau, scn.H - 6)
 
     early = ts < ep.free_flow_tau  # link.py:267-269
 
     # free-flow / congestion blended N-curve boundary (link.py:274-288)
-    idx = jnp.maximum(0, t - tau)  # = ts + 1 - tau
-    cum_in_at = _ring_read(st.cum_in_ring, idx, scn.H)
+    if hist is not None:
+        cum_in_at = hist["ci"]
+    else:
+        idx = jnp.maximum(0, t - tau)  # = ts + 1 - tau
+        cum_in_at = _ring_read(st.cum_in_ring, idx, scn.H)
     cf32 = jnp.clip(
         (own_density32 - ep.k_critical.astype(f32))
         / (ep.k_jam - ep.k_critical).astype(f32),
@@ -174,24 +226,27 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
     # diffusion outflow, 4 lagged inflows (get_outflow, link.py:199-214);
     # F is f32 (gamma * avg_tt_f32), lag terms accumulate left-to-right in
     # the flow dtype as in the reference expression (link.py:210-212)
-    F = f32(1.0) / (f32(1.0) + _nofma(scn, ep.gamma.astype(f32) * avg_tt))
-    base = ts - tau
-    one_m_f = f32(1.0) - F
-    if getattr(scn, "exact_parity", False):
-        # reference summation order (link.py:210-212), 4 ring reads
-        infl = [_ring_read(st.inflow_ring, base - k, scn.H) for k in range(4)]
-        diff_raw = (
-            (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
-            + _nofma(scn, (F * one_m_f**2) * infl[2])
-        ) + _nofma(scn, (F * one_m_f**3) * infl[3])
+    if hist is not None:
+        diff_raw = hist["diff"]
     else:
-        # fast path: all 4 lags in one masked reduction over the ring
-        from .ops import diffusion_single_pass
+        F = f32(1.0) / (f32(1.0) + _nofma(scn, ep.gamma.astype(f32) * avg_tt))
+        base = ts - tau
+        one_m_f = f32(1.0) - F
+        if getattr(scn, "exact_parity", False):
+            # reference summation order (link.py:210-212), 4 ring reads
+            infl = [_ring_read(st.inflow_ring, base - k, scn.H) for k in range(4)]
+            diff_raw = (
+                (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
+                + _nofma(scn, (F * one_m_f**2) * infl[2])
+            ) + _nofma(scn, (F * one_m_f**3) * infl[3])
+        else:
+            # fast path: all 4 lags in one masked reduction over the ring
+            from .ops import diffusion_single_pass
 
-        coefs = jnp.stack(
-            [F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=1
-        ).astype(st.inflow_ring.dtype)
-        diff_raw = diffusion_single_pass(st.inflow_ring, base, coefs, scn.H)
+            coefs = jnp.stack(
+                [F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=1
+            ).astype(st.inflow_ring.dtype)
+            diff_raw = diffusion_single_pass(st.inflow_ring, base, coefs, scn.H)
     diffusion = jnp.maximum(jnp.ceil(diff_raw), 0.0)
 
     freeflow = shared_density32 <= ep.k_critical.astype(f32)
@@ -228,7 +283,8 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic)
     return S, shared_density32
 
 
-def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochastic):
+def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochastic,
+                     hist=None):
     """Vectorized cal_receiving_flow(_with_reverse) (link.py:372-416) and
     the Separator variant (link.py:480-512)."""
     f = scn.ftype
@@ -240,17 +296,16 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
     )
     num_peds = st.num_peds.astype(f)
 
-    tau_shock = ep.tau_shockwave
-    if scn.H < scn.simulation_steps + 1:
-        # windowed-history mode: the shockwave lookback must stay inside
-        # the ring or the read wraps to a value from ~t-(tau mod H) — far
-        # too recent — silently inflating receiving flows and weakening
-        # jam spillback.  Clamping to H-1 (the oldest retained slot) is
-        # part of the windowed-mode approximation, like the avg-tt tau
-        # clamp above; tests/test_golden_parity.py quantifies the error.
-        tau_shock = jnp.minimum(tau_shock, scn.H - 1)
+    if hist is not None:
+        tau_shock = hist["tau_shock"]
+        cum_out_at = hist["co"]
+    else:
+        tau_shock = ep.tau_shockwave
+        if scn.H < scn.simulation_steps + 1:
+            # windowed-mode clamp; see _lookback_state for rationale
+            tau_shock = jnp.minimum(tau_shock, scn.H - 1)
+        cum_out_at = _ring_read(st.cum_out_ring, jnp.maximum(t - tau_shock, 0), scn.H)
     early = (t - tau_shock) < 0  # ts + 1 - tau_shockwave < 0
-    cum_out_at = _ring_read(st.cum_out_ring, jnp.maximum(t - tau_shock, 0), scn.H)
 
     rev_rand = _binom(key, num_peds[rev], 0.9, stochastic,
                       getattr(scn, "binomial_mode", "exact"))  # link.py:382
@@ -433,8 +488,15 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
     else:
         k_rel = k_act = k_rev = k_noise = key
 
+    # 0) optional fused Pallas pass: all three ring reductions (cum_in
+    #    lookback, cum_out shockwave lookback, diffusion) in one kernel
+    hist = None
+    if getattr(scn, "use_pallas", False) and not getattr(scn, "exact_parity", False):
+        hist = _fused_hist(scn, ep, st, t)
+
     # 1) sending flows from state t-1 (all links simultaneously)
-    S, shared_density = _sending_flows(scn, ep, st, t, (k_rel, k_act), stochastic)
+    S, shared_density = _sending_flows(scn, ep, st, t, (k_rel, k_act), stochastic,
+                                       hist=hist)
 
     # 2) dynamic turning fractions (path_finder.py:717-737); density and
     #    receiving-capacity reads are t-1 / t-2 state, so order-free.
@@ -452,7 +514,7 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
         phi = ep.phi_base
 
     # 3) receiving flows (needs S of reverse links)
-    R = _receiving_flows(scn, ep, st, t, S, k_rev, stochastic)
+    R = _receiving_flows(scn, ep, st, t, S, k_rev, stochastic, hist=hist)
 
     # 4) node merge/diverge + write-back
     inflow_e, outflow_e, virt_dep, virt_arr = _node_solve(scn, ep, st, t, S, R, phi)

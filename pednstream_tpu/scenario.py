@@ -70,10 +70,16 @@ class Scenario:
         exact_parity: bool = False,
         history_window: Optional[int] = None,
         binomial_mode: str = "exact",
+        use_pallas: bool = False,
+        pallas_interpret: bool = False,
     ):
         self.exact_parity = exact_parity
         self.history_window = history_window
         self.binomial_mode = binomial_mode
+        # fused Pallas history-read kernel (ops/ncurve.py); interpret
+        # mode runs the kernel in the Pallas interpreter (CPU tests)
+        self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret
         self.topo = topo
         self.params = params
         self.origin_nodes = list(origin_nodes)
@@ -220,6 +226,8 @@ def build_scenario(
     exact_parity: bool = False,
     history_window: Optional[int] = None,
     binomial_mode: str = "exact",
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Scenario:
     """Compile a scenario (reference Network.__init__, network.py:56-121).
 
@@ -292,4 +300,6 @@ def build_scenario(
         exact_parity=exact_parity,
         history_window=history_window,
         binomial_mode=binomial_mode,
+        use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
     )

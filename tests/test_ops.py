@@ -86,3 +86,37 @@ def test_fast_vs_parity_diffusion_in_engine():
                         80, stochastic=False, record=False)
         runs[mode] = np.asarray(f.density)
     np.testing.assert_allclose(runs[True], runs[False], atol=5e-3)
+
+
+def test_pallas_engine_path_identical():
+    """The fused Pallas history kernel wired into the engine
+    (scn.use_pallas) reproduces the XLA one-hot path bit-for-bit over a
+    full stochastic run, including under vmap (interpret mode on CPU)."""
+    from pednstream_tpu import build_scenario, load_config
+    from pednstream_tpu.engine import simulate, step_fn
+
+    cfg = load_config("data/butterfly_scC/sim_params.yaml")
+    cfg["params"]["seed"] = 3
+    args = (cfg["adjacency_matrix"], cfg["params"],
+            cfg["origin_nodes"], cfg["destination_nodes"])
+    scn_a = build_scenario(*args, history_window=64)
+    scn_b = build_scenario(*args, history_window=64,
+                           use_pallas=True, pallas_interpret=True)
+
+    fa, _ = simulate(scn_a, scn_a.engine_params,
+                     scn_a.init_state(jax.random.PRNGKey(0)), 120,
+                     stochastic=True, record=False)
+    fb, _ = simulate(scn_b, scn_b.engine_params,
+                     scn_b.init_state(jax.random.PRNGKey(0)), 120,
+                     stochastic=True, record=False)
+    for name in ("density", "cum_in", "cum_out", "travel_time", "num_peds"):
+        a, b = np.asarray(getattr(fa, name)), np.asarray(getattr(fb, name))
+        assert np.abs(a - b).max() == 0.0, name
+
+    # batched replicas through the kernel
+    states = jax.vmap(scn_b.init_state)(jax.random.split(jax.random.PRNGKey(1), 4))
+    step = jax.jit(jax.vmap(
+        lambda s: step_fn(scn_b, scn_b.engine_params, s,
+                          stochastic=True, record=False)[0]))
+    out = step(states)
+    assert out.density.shape[0] == 4
