@@ -99,3 +99,57 @@ def test_agent_client_tool_schemas():
     for name in ("create_environment", "visualize_snapshot", "upsert_config"):
         assert specs[name]["parameters"]["properties"], name
         assert specs[name]["description"]
+
+
+def test_http_transport_smoke():
+    """Live-socket HTTP smoke test (role of the reference's
+    mcp/test_http_client.py): tool listing with schemas, create -> run ->
+    status over POST, resource read over GET."""
+    import json as _json
+    import urllib.request
+
+    from pednstream_tpu.mcp.http_server import serve
+
+    httpd, _ = serve(port=0, background=True)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=30) as r:
+                return r.status, r.read().decode()
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, _json.loads(r.read().decode())
+
+        code, body = get("/tools")
+        assert code == 200
+        tools = {t["name"]: t for t in _json.loads(body)["tools"]}
+        assert "run_simulation" in tools
+        assert tools["run_simulation"]["parameters"]["properties"]
+
+        code, env = post("/tools/create_environment",
+                         {"config_name": "butterfly_scC"})
+        assert code == 200 and "sim_id" in env, env
+        sim_id = env["sim_id"]
+        code, r = post("/tools/run_simulation", {"sim_id": sim_id, "steps": 5})
+        assert code == 200 and r["current_step"] == 5, r
+        code, st = post("/tools/get_status", {"sim_id": sim_id})
+        assert st["status"] in ("CREATED", "RUNNING")
+
+        code, _save = post("/tools/save_outputs", {"sim_id": sim_id})
+        code, text = get(f"/resources/sim/{sim_id}/link_data")
+        assert code == 200 and text.startswith("{")
+
+        # error paths (urllib raises on non-2xx)
+        import urllib.error
+
+        try:
+            post("/tools/nonexistent", {})
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
