@@ -42,9 +42,20 @@ def randomize_engine_params(scn, key: jax.Array) -> EngineParams:
     spd_f = jnp.repeat(jax.random.uniform(k_spdf, (nc,), minval=0.6, maxval=0.9), 2)
     ffs = jnp.where(spd_on, ep.free_flow_speed * spd_f, ep.free_flow_speed)
 
-    # demand level scaling per origin node: U(0.4, 2.0) (spans the
-    # reference's base/peak lambda ranges relative to typical configs)
-    dem_scale = jax.random.uniform(k_dem, (scn.n_nodes,), minval=0.4, maxval=2.0)
+    # demand randomization: the reference REPLACES each origin's demand
+    # with fresh light-level curves — base_lambda ~ U(2, 10), peak_lambda
+    # ~ U(10, 30) (env_loader.py:185-218) — independent of the scenario's
+    # nominal levels (butterfly's nominal sudden-demand peaks at 90).  The
+    # in-vmap analog rescales each origin's precomputed curve so its mean
+    # rate lands in the same U(2, 10)..U(10, 30) band, preserving the
+    # temporal shape.  (Scaling by the nominal level instead — an earlier
+    # version — made randomized worlds far MORE jammed than the
+    # reference's, drowning the RL signal.)
+    T = ep.demand.shape[1]
+    nom_mean = ep.demand.sum(axis=1) / T  # per-node mean rate
+    target_mean = jax.random.uniform(k_dem, (scn.n_nodes,), minval=4.0,
+                                     maxval=18.0)  # mid base..peak band
+    dem_scale = jnp.where(nom_mean > 0, target_mean / jnp.maximum(nom_mean, 1e-6), 1.0)
     demand = ep.demand * dem_scale[:, None]
 
     # OD flow weights: U(1, 10) per pair (env_loader.py:224-259)

@@ -23,11 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATASETS = {
     # dataset -> (action_gap, ppo_iters, sac_episodes)
-    "butterfly_scA": (15, 80, 30),
-    "butterfly_scB": (15, 80, 30),
-    "butterfly_scC": (15, 80, 30),
-    "two_coordinators": (15, 60, 20),
-    "45_intersections": (15, 60, 20),
+    "butterfly_scA": (15, 120, 30),
+    "butterfly_scB": (15, 120, 30),
+    "butterfly_scC": (15, 120, 30),
+    "two_coordinators": (15, 100, 20),
+    "45_intersections": (15, 100, 20),
 }
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -45,8 +45,8 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
                             action_gap=action_gap, history_window=64)
     tr = BatchedPPOTrainer(env.core, num_envs=num_envs, rollout_len=rollout_len,
                            net_type="attention", randomize=True,
-                           lr=3e-4, epochs=3, minibatches=2,
-                           kl_target=0.05,
+                           lr=1e-4, epochs=4, minibatches=4,
+                           kl_target=0.02,  # reference PPO kl_target
                            # rewards are -(travel-time sums) over action_gap
                            # engine steps: ~1e4-1e5 per RL step on jammed
                            # scenarios; scale into a sane value-target range
