@@ -81,12 +81,21 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--sim-dir", required=True)
     parser.add_argument("--video", default=None, help="export video and exit")
+    parser.add_argument("--html", default=None,
+                        help="export a standalone interactive HTML map and exit "
+                             "(no streamlit/folium/browser-driver needed)")
     parser.add_argument("--property", default="density")
     parser.add_argument("--fps", type=int, default=10)
     args, _ = parser.parse_known_args()
 
     if args.video:
         path = generate_video(args.sim_dir, args.video, args.property, args.fps)
+        print(f"wrote {path}")
+    elif args.html:
+        from pednstream_tpu.viz import export_interactive_html
+
+        path = export_interactive_html(simulation_dir=args.sim_dir,
+                                       out_path=args.html)
         print(f"wrote {path}")
     else:
         run_dashboard(args.sim_dir)

@@ -240,6 +240,25 @@ def animate(sim_id: str, start_time: int = 0, end_time: int = None,
     return {"sim_id": sim_id, "animation_path": str(path)}
 
 
+def export_interactive_map(sim_id: str, save_name: str = None,
+                           max_frames: int = 600) -> Dict[str, Any]:
+    """Export a standalone interactive HTML map (SVG + time slider, no
+    external dependencies) of the simulation so far — the service-side
+    replacement for the reference's Streamlit/folium dashboard view."""
+    from ..viz.html_export import export_interactive_html
+
+    sim = _manager.get(sim_id)
+    if not sim.history:
+        return {"sim_id": sim_id, "error": "no steps recorded yet"}
+    out_dir = _manager.base_output_dir / f"mcp_{sim_id}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / (save_name or "interactive_map.html")
+    export_interactive_html(scenario=sim.scenario, history=sim.history,
+                            out_path=str(path), title=sim.config_name,
+                            max_frames=max_frames)
+    return {"sim_id": sim_id, "html_path": str(path)}
+
+
 def get_status(sim_id: str) -> Dict[str, Any]:
     return _manager.get(sim_id).to_dict()
 
@@ -525,6 +544,7 @@ TOOLS = {
     "save_outputs": save_outputs,
     "visualize_snapshot": visualize_snapshot,
     "animate": animate,
+    "export_interactive_map": export_interactive_map,
     "get_status": get_status,
     "list_simulations": list_simulations,
     "cancel_simulation": cancel_simulation,

@@ -377,3 +377,35 @@ def test_build_agents_gat_adjacency_wired():
     obs, _ = env.reset()
     d = gate.take_action(obs["gate_2"], explore=False)
     assert d.shape == (L,) and np.all(np.isfinite(d))
+
+
+def test_interactive_html_export(tmp_path):
+    """Standalone interactive HTML map (dashboard/viz parity: replaces the
+    reference's Streamlit+folium+Selenium stack with a zero-dependency
+    artifact): embeds SVG geometry, quantized per-property frames, and
+    the slider/play controls."""
+    import json as _json
+    import re
+
+    from pednstream_tpu.engine import simulate
+    from pednstream_tpu.generator import NetworkEnvGenerator
+    from pednstream_tpu.viz import export_interactive_html
+
+    gen = NetworkEnvGenerator()
+    scn = gen.create_network("butterfly_scC")
+    _, outs = simulate(scn, scn.engine_params, scn.init_state(jax.random.PRNGKey(0)),
+                       25, stochastic=True, record=True)
+    history = [jax.tree_util.tree_map(lambda x: x[i], outs) for i in range(25)]
+    out = str(tmp_path / "map.html")
+    export_interactive_html(scenario=scn, history=history, out_path=out)
+    html = open(out).read()
+    # geometry: one SVG line per directed link
+    assert html.count("<line id=") == scn.n_links
+    # controls + script present
+    for frag in ('<input type="range"', "function render()", "<select id=\"prop\">"):
+        assert frag in html, frag
+    # embedded data: density frames cover the recorded steps
+    data = _json.loads(re.search(r"const DATA = (\{.*?\});", html).group(1))
+    assert "density" in data and "speed" in data
+    assert len(data["density"][0]) == scn.n_links
+    assert all(0 <= v <= 255 for v in data["density"][-1])
