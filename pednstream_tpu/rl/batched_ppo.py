@@ -99,6 +99,7 @@ class BatchedPPOTrainer:
         net_type: str = "mlp",
         hidden_dim: int = 64,
         randomize: bool = False,
+        randomize_fraction: float = 1.0,
         mesh=None,
     ):
         if num_envs % minibatches:
@@ -121,6 +122,12 @@ class BatchedPPOTrainer:
         self.net_type = net_type
         self.hidden_dim = hidden_dim
         self.randomize = randomize
+        # fraction of replicas simulating randomized worlds; the rest keep
+        # the scenario's NOMINAL world so the policy also trains on the
+        # regime evaluation runs use (the reference trains randomized-only
+        # and its randomized demand is much lighter than nominal — a
+        # policy trained that way never sees nominal congestion)
+        self.randomize_fraction = randomize_fraction
         self.mesh = mesh
 
         fpl = FEATURES_PER_LINK[core.obs_mode]
@@ -204,6 +211,7 @@ class BatchedPPOTrainer:
             eps = jax.vmap(lambda k: randomize_engine_params(self.scn, k))(
                 jax.random.split(k_rand, self.B)
             )
+            eps = self._mix_nominal(eps)
         params, vparams, opts, acar, ccar = {}, {}, {}, {}, {}
         for (aid, meta), kp, kv in zip(self.agents.items(),
                                        aks[: len(self.agents)],
@@ -225,6 +233,18 @@ class BatchedPPOTrainer:
                             iteration=jnp.asarray(0))
 
     # -- helpers -----------------------------------------------------------------
+
+    def _mix_nominal(self, eps):
+        """Keep replicas [frac*B:] on the nominal EngineParams."""
+        if self.randomize_fraction >= 1.0:
+            return eps
+        n_rand = int(round(self.randomize_fraction * self.B))
+        is_rand = jnp.arange(self.B) < n_rand
+        nominal = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (self.B,) + jnp.asarray(x).shape),
+            self.scn.engine_params,
+        )
+        return _where_done(is_rand, eps, nominal)
 
     def _agent_obs(self, obs, aid):
         if aid == "sep":
@@ -300,7 +320,7 @@ class BatchedPPOTrainer:
                 redraw = jax.vmap(lambda kk: randomize_engine_params(self.scn, kk))(
                     jax.vmap(lambda s: jax.random.fold_in(s, 13))(new_states.key)
                 )
-                eps = _where_done(done, redraw, eps)
+                eps = _where_done(done, self._mix_nominal(redraw), eps)
             new_obs = jax.vmap(self.core._observations)(new_states)
             rew = {aid: rewards.get(aid if aid != "sep" else
                                     (self.spec.sep_ids[0] if self.spec.sep_ids else aid),

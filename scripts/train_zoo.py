@@ -45,6 +45,10 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
                             action_gap=action_gap, history_window=64)
     tr = BatchedPPOTrainer(env.core, num_envs=num_envs, rollout_len=rollout_len,
                            net_type="attention", randomize=True,
+                           # half the replicas train on the NOMINAL world
+                           # (the regime eval run0 uses); half on
+                           # reference-distribution randomized worlds
+                           randomize_fraction=0.5,
                            lr=1e-4, epochs=4, minibatches=4,
                            kl_target=0.02,  # reference PPO kl_target
                            # rewards are -(travel-time sums) over action_gap
@@ -155,9 +159,11 @@ def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
         with_mpc: bool = False, ppo_iters: int = None, sac_eps: int = None):
     action_gap, d_ppo, d_sac = DATASETS[dataset]
     ppo_dir = train_ppo(dataset, action_gap, ppo_iters or d_ppo)
-    sac_dir = None
+    sac_dir = os.path.join(ART, f"sac_agents_{dataset}")
     if not skip_sac:
         sac_dir = train_sac(dataset, action_gap, sac_eps or d_sac)
+    elif not os.path.isdir(sac_dir):
+        sac_dir = None  # no previously trained SAC checkpoint to reuse
     if not skip_eval:
         evaluate_zoo(dataset, action_gap, ppo_dir, sac_dir, with_mpc=with_mpc)
 
