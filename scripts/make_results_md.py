@@ -1,0 +1,103 @@
+"""Assemble docs/RESULTS.md from the zoo evaluation outputs
+(outputs/eval_<dataset>/results.json produced by scripts/train_zoo.py).
+
+Run:  python scripts/make_results_md.py
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+METRICS = [
+    ("total_reward", "total reward", 0),
+    ("throughput.throughput", "throughput", 3),
+    ("travel_time.avg_travel_time", "avg travel time [s]", 1),
+    ("delay.total_delay", "total delay", 0),
+    ("served_trips.served_trips_rate", "served-trips rate", 3),
+    ("congestion.avg_congestion_density", "congestion density", 3),
+]
+
+
+def render_dataset(name: str, results: dict) -> str:
+    lines = [f"### {name}", ""]
+    header = "| policy | " + " | ".join(label for _, label, _ in METRICS) + " |"
+    lines += [header, "|" + "---|" * (len(METRICS) + 1)]
+    for algo, runs in results.items():
+        row = [algo]
+        for key, _, nd in METRICS:
+            vals = [r.get(key) for r in runs if r.get(key) is not None]
+            row.append(f"{np.mean(vals):.{nd}f}" if vals else "—")
+        lines.append("| " + " | ".join(row) + " |")
+    # per-run rewards for the paired comparison
+    lines += ["", "Per-run total reward (run 0 = nominal world, runs 1+ = "
+              "paired randomized worlds):", ""]
+    for algo, runs in results.items():
+        rr = ", ".join(f"run{r['run']}: {r['total_reward']:.0f}" for r in runs)
+        lines.append(f"- **{algo}**: {rr}")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main():
+    sections = []
+    curves = []
+    for path in sorted(glob.glob(os.path.join(REPO, "outputs", "eval_*",
+                                              "results.json"))):
+        name = os.path.basename(os.path.dirname(path))[len("eval_"):]
+        with open(path) as f:
+            sections.append(render_dataset(name, json.load(f)))
+        cj = os.path.join(REPO, "artifacts", "zoo", f"ppo_agents_{name}",
+                          "curve.json")
+        if os.path.exists(cj):
+            with open(cj) as f:
+                curve = json.load(f)
+            r0 = curve[0]["reward"]
+            rb = min(c["reward"] for c in curve)
+            rl = np.mean([c["reward"] for c in curve[-10:]])
+            cfg = json.load(open(os.path.join(os.path.dirname(cj), "config.json")))
+            curves.append(
+                f"- **{name}**: {len(curve)} iterations, "
+                f"{cfg['engine_steps']/1e6:.1f}M engine steps in "
+                f"{cfg['train_time_s']:.0f}s "
+                f"({cfg['engine_steps']/cfg['train_time_s']/1e3:.0f}k steps/s); "
+                f"reward {r0:.0f} (start) -> {rl:.0f} (last-10 mean)"
+            )
+
+    doc = """# Results: trained-agent zoo vs baselines
+
+Produced by `scripts/train_zoo.py` (training) + `scripts/make_results_md.py`
+(this table).  PPO = batched attention-LSTM trainer (256 replicas, 50%
+nominal / 50% reference-distribution randomized worlds); SAC = host-loop
+twin-Q; rule_based / no_control / optimization(MPC) = reference
+baselines.  Evaluation = paired runs per `rl.evaluate.evaluate_agents`
+(same seed per run across policies; run 0 nominal, later runs
+randomized), metrics from `rl.metrics` over the saved runs.
+
+A structural note on these scenarios: a gate width throttles BOTH
+directions of its corridor at the gater node (front-gate cross-coupling,
+reference link.py:110-126), so restricting any gate also restricts the
+network's inflow — on the bundled scenarios fully-open is (near-)optimal
+and the practically attainable bar for a trained policy is to MATCH the
+open-gate baselines everywhere, including regimes it was not tuned for.
+
+## Training throughput (1 TPU chip)
+
+{curves}
+
+## Evaluation tables
+
+{sections}
+"""
+    out = os.path.join(REPO, "docs", "RESULTS.md")
+    with open(out, "w") as f:
+        f.write(doc.format(curves="\n".join(curves) or "(no curves found)",
+                           sections="\n".join(sections) or "(no results found)"))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
