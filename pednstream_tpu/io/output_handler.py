@@ -64,6 +64,13 @@ class OutputHandler:
         h = {k: np.asarray(v) for k, v in vars(h).items() if not k.startswith("_")}
         n_steps = h["density"].shape[0]
         T = scn.simulation_steps
+        if n_steps > T:
+            # an env whose action_gap does not divide the horizon steps a
+            # few engine steps past simulation_steps before reporting
+            # done; the reference layout holds exactly T+1 columns, so
+            # drop the overshoot
+            h = {k: v[:T] for k, v in h.items()}
+            n_steps = T
         topo = scn.topo
         lp = topo.link_params
 
