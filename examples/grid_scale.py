@@ -1,0 +1,72 @@
+"""Scale demo: the grid_50x50 benchmark network (2,500 nodes / 9,800
+directed links — the BASELINE 10k-link design point), run with the
+windowed-history engine and batched replicas.
+
+No reference counterpart (the reference's largest bundled network is
+melbourne, 938 directed links; its grids are 7x7 via data/create_grid.py).
+
+Run:  python examples/grid_scale.py [--batch 16] [--steps 100] [--pallas]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+from pednstream_tpu.engine import step_fn
+from pednstream_tpu.generator import NetworkEnvGenerator
+from pednstream_tpu.scenario import build_scenario
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--pallas", action="store_true")
+    args = p.parse_args()
+
+    gen = NetworkEnvGenerator()
+    data = gen.load_network_data("grid_50x50")
+    scn = build_scenario(
+        data["adjacency_matrix"], gen.config["params"],
+        gen.config["origin_nodes"], gen.config["destination_nodes"],
+        history_window=64, binomial_mode="fast", use_pallas=args.pallas,
+    )
+    ep = scn.engine_params
+    print(f"grid_50x50: {scn.n_nodes} nodes, {scn.n_links} directed links, "
+          f"H={scn.H}, pallas={args.pallas}")
+
+    def rollout(st):
+        def body(s, _):
+            s, _ = step_fn(scn, ep, s, stochastic=True, record=False)
+            return s, None
+        return jax.lax.scan(body, st, None, length=args.steps)[0]
+
+    run = jax.jit(jax.vmap(rollout))
+    states = jax.vmap(scn.init_state)(
+        jax.random.split(jax.random.PRNGKey(0), args.batch))
+    out = run(states)  # compile
+    jax.block_until_ready(out.density)
+
+    states = jax.vmap(scn.init_state)(
+        jax.random.split(jax.random.PRNGKey(1), args.batch))
+    np.asarray(states.density)
+    t0 = time.time()
+    out = run(states)
+    total_peds = float(np.asarray(out.num_peds).sum())
+    dt = time.time() - t0
+    rate = args.steps * args.batch / dt
+    print(f"{args.steps} steps x {args.batch} replicas in {dt:.2f}s "
+          f"= {rate:,.0f} env-steps/s "
+          f"({rate * scn.n_links / 1e9:.2f}e9 link-updates/s); "
+          f"{total_peds:,.0f} pedestrians in network")
+
+
+if __name__ == "__main__":
+    main()
