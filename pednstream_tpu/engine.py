@@ -569,10 +569,15 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
     return new_state, out
 
 
-def make_step(scn, stochastic: bool = False, record: bool = False):
-    """Jitted single-step function ``(params, state) -> (state, outputs)``."""
+def make_step(scn, stochastic: bool = False, record: bool = False,
+              donate: bool = False):
+    """Jitted single-step function ``(params, state) -> (state, outputs)``.
 
-    @jax.jit
+    ``donate=True`` donates the input state's buffers to the output
+    (in-place ring updates, no copies) — use when the previous state is
+    never touched again, e.g. the interactive/MCP stepping loop."""
+
+    @partial(jax.jit, donate_argnums=(1,) if donate else ())
     def _step(ep: EngineParams, st: NetworkState):
         return step_fn(scn, ep, st, stochastic=stochastic, record=record)
 

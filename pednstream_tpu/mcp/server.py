@@ -160,7 +160,8 @@ def run_simulation(sim_id: str, steps: int = None, until: int = None) -> Dict[st
     try:
         sim.status = SimulationStatus.RUNNING
         if sim.step_fn is None:
-            sim.step_fn = make_step(scn, stochastic=True, record=True)
+            sim.step_fn = make_step(scn, stochastic=True, record=True,
+                                    donate=True)
         st = sim.engine_state
         while sim.current_step < end:
             if sim.status == SimulationStatus.CANCELLED:
