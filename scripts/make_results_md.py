@@ -70,19 +70,34 @@ def main():
     doc = """# Results: trained-agent zoo vs baselines
 
 Produced by `scripts/train_zoo.py` (training) + `scripts/make_results_md.py`
-(this table).  PPO = batched attention-LSTM trainer (256 replicas, 50%
-nominal / 50% reference-distribution randomized worlds); SAC = host-loop
-twin-Q; rule_based / no_control / optimization(MPC) = reference
-baselines.  Evaluation = paired runs per `rl.evaluate.evaluate_agents`
-(same seed per run across policies; run 0 nominal, later runs
-randomized), metrics from `rl.metrics` over the saved runs.
+(this table).  PPO = batched attention-LSTM trainer (256 per-replica
+domain-randomized worlds, the reference's randomization distribution);
+SAC = host-loop twin-Q; rule_based / no_control / optimization(MPC) =
+reference baselines.  Evaluation = paired runs per
+`rl.evaluate.evaluate_agents` (same seed per run across policies; run 0
+nominal, later runs randomized), metrics from `rl.metrics` over the
+saved runs.
 
-A structural note on these scenarios: a gate width throttles BOTH
-directions of its corridor at the gater node (front-gate cross-coupling,
-reference link.py:110-126), so restricting any gate also restricts the
-network's inflow — on the bundled scenarios fully-open is (near-)optimal
-and the practically attainable bar for a trained policy is to MATCH the
-open-gate baselines everywhere, including regimes it was not tuned for.
+## Summary
+
+- **butterfly_scC**: PPO beats every baseline — best total reward and
+  12.6% less total delay than no-control; MPC and SAC trail.
+- **two_coordinators / 45_intersections**: SAC beats every baseline
+  (34% less total delay than no-control on 45_intersections); PPO ties
+  the baselines on randomized runs and trails on the nominal run.
+- **butterfly_scA / scB**: open gates are optimal; RL ties the
+  baselines on the randomized runs (the reference's evaluation regime)
+  and trails them on the heavy nominal run it never trains in.
+
+Two structural findings behind these numbers (docs/PARITY.md):
+a gate width throttles BOTH directions of its corridor at the gater
+node (front-gate cross-coupling, reference link.py:110-126), so
+restricting any gate also restricts network inflow and fully-open is
+(near-)optimal on several bundled scenarios; and training with heavy
+nominal-demand worlds mixed in reliably collapses PPO to gate closure —
+in jammed regimes closure improves the local reward short-term while
+the spillback catastrophe lies beyond GAE's effective horizon
+(rl/batched_ppo.py randomize_fraction documents this).
 
 ## Training throughput (1 TPU chip)
 

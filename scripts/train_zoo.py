@@ -45,10 +45,15 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
                             action_gap=action_gap, history_window=64)
     tr = BatchedPPOTrainer(env.core, num_envs=num_envs, rollout_len=rollout_len,
                            net_type="attention", randomize=True,
-                           # half the replicas train on the NOMINAL world
-                           # (the regime eval run0 uses); half on
-                           # reference-distribution randomized worlds
-                           randomize_fraction=0.5,
+                           # randomized-only worlds (the reference's
+                           # setup).  Mixing in nominal heavy-demand
+                           # replicas (randomize_fraction < 1) was tried
+                           # and reliably collapses the policy: in jammed
+                           # regimes closing a gate improves the local
+                           # reward short-term (out-links drain) while
+                           # the spillback catastrophe lies beyond GAE's
+                           # effective horizon.
+                           randomize_fraction=1.0,
                            lr=1e-4, epochs=4, minibatches=4,
                            kl_target=0.02,  # reference PPO kl_target
                            # rewards are -(travel-time sums) over action_gap
