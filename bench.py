@@ -114,18 +114,26 @@ def main():
     )
 
     # --- secondary: single replica, exact full-horizon mode ---
+    # NB: must be jitted at top level — an unjitted lax.scan dispatches
+    # op-by-op through the remote TPU tunnel (the round-1 "111 steps/s"
+    # single-replica figure was that dispatch artifact, not engine cost)
     scn1 = build_scenario(
         data["adjacency_matrix"], gen.config["params"],
         gen.config["origin_nodes"], gen.config["destination_nodes"],
     )
     T = scn1.simulation_steps
-    f, _ = simulate(scn1, scn1.engine_params, scn1.init_state(jax.random.PRNGKey(0)),
-                    T - 1, stochastic=True, record=False)
-    jax.block_until_ready(f.density)
+
+    @jax.jit
+    def full_run(st):
+        return simulate(scn1, scn1.engine_params, st, T - 1,
+                        stochastic=True, record=False)[0]
+
+    jax.block_until_ready(full_run(scn1.init_state(jax.random.PRNGKey(0))).density)
+    st1 = scn1.init_state(jax.random.PRNGKey(1))
+    _np.asarray(st1.density)
     t0 = time.time()
-    f, _ = simulate(scn1, scn1.engine_params, scn1.init_state(jax.random.PRNGKey(1)),
-                    T - 1, stochastic=True, record=False)
-    jax.block_until_ready(f.density)
+    f = full_run(st1)
+    _ = float(_np.asarray(f.num_peds).sum())
     single = (T - 1) / (time.time() - t0)
     print(
         f"secondary: single-replica exact full-horizon {single:.0f} steps/s "
