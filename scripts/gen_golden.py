@@ -192,11 +192,75 @@ def scenario_optimal_diamond(steps=200):
     return adj, params, [0], [3], None
 
 
+def scenario_grid7(steps=250):
+    # 7x7 grid in the two_coordinators/45_intersections configuration
+    # (reference data/two_coordinators/sim_params.yaml): central gater
+    # node 24, k_paths 10 routing, origins/destinations 30<->18
+    adj = np.zeros((49, 49), dtype=int)
+    for r in range(7):
+        for c in range(7):
+            n = 7 * r + c
+            if c < 6:
+                adj[n, n + 1] = adj[n + 1, n] = 1
+            if r < 6:
+                adj[n, n + 7] = adj[n + 7, n] = 1
+    params = {
+        "unit_time": 10,
+        "simulation_steps": steps,
+        "seed": 21,
+        "path_finder": {"k_paths": 10, "temp": 5, "alpha": 1, "beta": 0.5,
+                        "omega": 0.8},
+        "default_link": {
+            "length": 50, "width": 4, "free_flow_speed": 1.1,
+            "k_critical": 2, "k_jam": 6, "gamma": 0.01,
+            "fd_type": "yperman", "bi_factor": 1,
+        },
+        "controllers": {"enabled": True, "nodes": [24]},
+        "demand": {
+            "origin_30": {"pattern": "gaussian_peaks", "peak_lambda": 50,
+                          "base_lambda": 30},
+            "origin_18": {"pattern": "gaussian_peaks", "peak_lambda": 40,
+                          "base_lambda": 20},
+        },
+    }
+    return adj, params, [30, 18], [18, 30], None
+
+
+def scenario_separator_corridor(steps=300):
+    # bidirectional corridor with a controllable Separator on corridor
+    # 2-3 (controllers.links -> Separator lane-allocation dynamics:
+    # own density, no reverse subtraction, synced gate widths) and a
+    # sudden_demand pattern
+    adj = np.zeros((6, 6), dtype=int)
+    for a in range(5):
+        adj[a, a + 1] = adj[a + 1, a] = 1
+    params = {
+        "unit_time": 10,
+        "simulation_steps": steps,
+        "seed": 9,
+        "default_link": {
+            "length": 100, "width": 4, "free_flow_speed": 1.1,
+            "k_critical": 2, "k_jam": 6, "gamma": 0.01,
+            "fd_type": "yperman", "bi_factor": 1,
+        },
+        "controllers": {"enabled": True, "links": ["2-3"]},
+        "demand": {
+            "origin_0": {"pattern": "sudden_demand", "peak_lambda": 40,
+                         "base_lambda": 25},
+            "origin_5": {"pattern": "gaussian_peaks", "peak_lambda": 25,
+                         "base_lambda": 10},
+        },
+    }
+    return adj, params, [0, 5], [5, 0], None
+
+
 SCENARIOS = {
     "long_corridor": scenario_long_corridor,
     "nine_node": scenario_nine_node,
     "butterfly": scenario_butterfly,
     "optimal_diamond": scenario_optimal_diamond,
+    "grid7": scenario_grid7,
+    "separator_corridor": scenario_separator_corridor,
 }
 
 
