@@ -46,21 +46,24 @@ from .state import EngineParams, NetworkState, StepOutputs
 def _ring_read(ring: jnp.ndarray, time_idx: jnp.ndarray, H: int) -> jnp.ndarray:
     """Read per-link ring values at (possibly per-link) time indices.
 
-    TPU gathers with per-lane dynamic indices serialize to scalar loads
-    (~20ns/element — this was 77% of engine runtime), so the per-link
-    read is expressed as a one-hot masked reduction over the ring axis:
-    a fused VPU multiply+reduce at full memory bandwidth.  Negative time
-    indices read as 0 for free (one_hot of an out-of-range index is all
-    zeros).  Adding the zero lanes is IEEE-exact (x + 0.0 == x for the
-    non-negative finite values stored here), so golden parity holds.
+    Rings are time-major [H, E] (see ops/ncurve.py for the layout
+    rationale).  TPU gathers with per-lane dynamic indices serialize to
+    scalar loads (~20ns/element — this was 77% of engine runtime), so the
+    per-link read is expressed as a one-hot masked reduction over the
+    window axis: a fused VPU multiply+reduce at full memory bandwidth.
+    Negative time indices read as 0 for free (the mask of an out-of-range
+    index is all zeros).  Adding the zero lanes is IEEE-exact (x + 0.0 ==
+    x for the non-negative finite values stored here), so golden parity
+    holds.
     """
     if time_idx.ndim == 0:
         return jax.lax.dynamic_index_in_dim(
-            ring, jnp.mod(time_idx, H), axis=1, keepdims=False
+            ring, jnp.mod(time_idx, H), axis=0, keepdims=False
         )
     idx = jnp.where(time_idx >= 0, jnp.mod(time_idx, H), -1)
-    oh = jax.nn.one_hot(idx, H, dtype=ring.dtype)
-    return (ring * oh).sum(axis=1)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (H,) + idx.shape, 0)
+    mask = h_ids == idx[None]
+    return jnp.where(mask, ring, 0.0).sum(axis=0)
 
 
 def _nofma(scn, x):
@@ -86,12 +89,14 @@ def _binom(key, n, p, stochastic: bool, mode: str = "exact"):
 
     mode='exact' uses jax.random.binomial (transformed rejection — exact
     but costs ~64% of the stochastic step at scale).  mode='fast' is a
-    hybrid sampler: exact Bernoulli-sum for n <= 16, Gaussian
-    approximation with rounding and [0, n] clipping beyond (a standard
-    approximation: for n > 16 and the p in [0.5, 0.9] used here the
-    normal approximation's total-variation error is small).  ~2.5x
-    faster end-to-end; validated distributionally in
-    tests/test_stochastic_parity.py.
+    hybrid sampler: exact inverse-CDF sampling for n <= 16 (one uniform
+    draw, the binomial pmf walked by its term recursion — profiling
+    showed the earlier 16-trial Bernoulli-sum spent ~30% of the whole
+    engine step generating 16x the random bits), Gaussian approximation
+    with rounding and [0, n] clipping beyond (a standard approximation:
+    for n > 16 and the p in [0.5, 0.9] used here the normal
+    approximation's total-variation error is small).  Validated
+    distributionally in tests/test_stochastic_parity.py.
     """
     nf = jnp.floor(jnp.maximum(n, 0.0))
     if not stochastic:
@@ -101,9 +106,21 @@ def _binom(key, n, p, stochastic: bool, mode: str = "exact"):
         return jax.random.binomial(key, nf, pc).astype(n.dtype)
     K = _FAST_BINOM_EXACT_N
     k1, k2 = jax.random.split(key)
-    u = jax.random.uniform(k1, (K,) + nf.shape, dtype=jnp.float32)
-    trials = jnp.arange(K, dtype=nf.dtype)[(...,) + (None,) * nf.ndim]
-    small = ((trials < nf) & (u < pc)).sum(axis=0).astype(n.dtype)
+    f32 = jnp.float32
+    u = jax.random.uniform(k1, nf.shape, dtype=f32)
+    q = f32(1.0) - pc.astype(f32)
+    ratio = pc.astype(f32) / jnp.maximum(q, f32(1e-12))
+    nf32 = nf.astype(f32)
+    pmf = q**nf32  # P[X = 0]
+    cdf = pmf
+    cnt = jnp.zeros_like(nf32)
+    for k in range(K):
+        # u >= P[X <= k]  =>  the sample exceeds k
+        cnt = cnt + jnp.where((u >= cdf) & (k < nf32), f32(1.0), f32(0.0))
+        pmf = pmf * ((nf32 - k) / f32(k + 1.0)) * ratio
+        pmf = jnp.where(k + 1.0 <= nf32, pmf, f32(0.0))
+        cdf = cdf + pmf
+    small = cnt.astype(n.dtype)
     z = jax.random.normal(k2, nf.shape, dtype=jnp.float32).astype(n.dtype)
     mu = nf * pc
     sigma = jnp.sqrt(jnp.maximum(mu * (1.0 - pc), 0.0))
@@ -126,7 +143,7 @@ def _lookback_state(scn, ep: EngineParams, st: NetworkState, t):
         tau = jnp.minimum(tau, scn.H - 6)
     F = f32(1.0) / (f32(1.0) + ep.gamma.astype(f32) * avg_tt)
     one_m_f = f32(1.0) - F
-    coefs = jnp.stack([F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=1)
+    coefs = jnp.stack([F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=0)
     tau_shock = ep.tau_shockwave
     if windowed:
         # the shockwave lookback must stay inside the ring or the read
@@ -196,8 +213,23 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
     early = ts < ep.free_flow_tau  # link.py:267-269
 
     # free-flow / congestion blended N-curve boundary (link.py:274-288)
+    diff_fused = None
     if hist is not None:
         cum_in_at = hist["ci"]
+    elif not getattr(scn, "exact_parity", False):
+        # fast path: boundary + all 4 diffusion taps from ONE pass over
+        # the cum_in ring (inflow[s] = cum_in[s] - cum_in[s-1] exactly)
+        from .ops import boundary_and_diffusion_reads
+
+        F = f32(1.0) / (f32(1.0) + ep.gamma.astype(f32) * avg_tt)
+        one_m_f = f32(1.0) - F
+        coefs = jnp.stack(
+            [F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=0
+        ).astype(st.cum_in_ring.dtype)
+        idx = jnp.maximum(0, t - tau)  # = ts + 1 - tau
+        cum_in_at, diff_fused = boundary_and_diffusion_reads(
+            st.cum_in_ring, idx, ts - tau, coefs, scn.H
+        )
     else:
         idx = jnp.maximum(0, t - tau)  # = ts + 1 - tau
         cum_in_at = _ring_read(st.cum_in_ring, idx, scn.H)
@@ -228,25 +260,19 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
     # the flow dtype as in the reference expression (link.py:210-212)
     if hist is not None:
         diff_raw = hist["diff"]
+    elif diff_fused is not None:
+        diff_raw = diff_fused
     else:
+        # exact-parity: reference summation order (link.py:210-212), 4
+        # separate inflow-ring reads
         F = f32(1.0) / (f32(1.0) + _nofma(scn, ep.gamma.astype(f32) * avg_tt))
         base = ts - tau
         one_m_f = f32(1.0) - F
-        if getattr(scn, "exact_parity", False):
-            # reference summation order (link.py:210-212), 4 ring reads
-            infl = [_ring_read(st.inflow_ring, base - k, scn.H) for k in range(4)]
-            diff_raw = (
-                (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
-                + _nofma(scn, (F * one_m_f**2) * infl[2])
-            ) + _nofma(scn, (F * one_m_f**3) * infl[3])
-        else:
-            # fast path: all 4 lags in one masked reduction over the ring
-            from .ops import diffusion_single_pass
-
-            coefs = jnp.stack(
-                [F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=1
-            ).astype(st.inflow_ring.dtype)
-            diff_raw = diffusion_single_pass(st.inflow_ring, base, coefs, scn.H)
+        infl = [_ring_read(st.inflow_ring, base - k, scn.H) for k in range(4)]
+        diff_raw = (
+            (_nofma(scn, F * infl[0]) + _nofma(scn, (F * one_m_f) * infl[1]))
+            + _nofma(scn, (F * one_m_f**2) * infl[2])
+        ) + _nofma(scn, (F * one_m_f**3) * infl[3])
     diffusion = jnp.maximum(jnp.ceil(diff_raw), 0.0)
 
     freeflow = shared_density32 <= ep.k_critical.astype(f32)
@@ -265,12 +291,19 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
     s_pos = jnp.where(freeflow, jnp.where(diffusion > 0, mixed, released), released)
     sending = jnp.where(sending > 0, s_pos, sending)
 
-    # activity stay (link.py:350-358)
-    staying = _binom(keys[1], sending, ep.activity_probability, stochastic,
-                     getattr(scn, "binomial_mode", "exact"))
-    sending = jnp.where(
-        (ep.activity_probability > 0) & (sending > 1), sending - staying, sending
+    # activity stay (link.py:350-358).  Skipped entirely when
+    # activity_probability is a compile-time constant that is zero
+    # everywhere (the common case) — the draw would be fully masked out.
+    act_p = ep.activity_probability
+    act_statically_zero = not isinstance(act_p, jax.core.Tracer) and bool(
+        np.all(np.asarray(act_p) <= 0)
     )
+    if not act_statically_zero:
+        staying = _binom(keys[1], sending, act_p, stochastic,
+                         getattr(scn, "binomial_mode", "exact"))
+        sending = jnp.where(
+            (act_p > 0) & (sending > 1), sending - staying, sending
+        )
 
     # EMA smoothing against previous sending flow (link.py:362-364)
     sending = jnp.maximum(0.0, sending)
@@ -300,11 +333,40 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
         tau_shock = hist["tau_shock"]
         cum_out_at = hist["co"]
     else:
-        tau_shock = ep.tau_shockwave
-        if scn.H < scn.simulation_steps + 1:
-            # windowed-mode clamp; see _lookback_state for rationale
-            tau_shock = jnp.minimum(tau_shock, scn.H - 1)
-        cum_out_at = _ring_read(st.cum_out_ring, jnp.maximum(t - tau_shock, 0), scn.H)
+        windowed = scn.H < scn.simulation_steps + 1
+        tau_np = None
+        if not getattr(scn, "exact_parity", False) and not isinstance(
+            ep.tau_shockwave, jax.core.Tracer
+        ):
+            # tau_shockwave is a compile-time constant (the common case —
+            # it only becomes traced under per-replica domain
+            # randomization).  When it takes few distinct values, replace
+            # the full-ring one-hot reduction with one cheap whole-row
+            # read per distinct lookback: D*E bytes instead of H*E.  On a
+            # uniform-length network (D == 1) this removes a third of the
+            # engine's ring bandwidth outright.
+            tau_np = np.asarray(ep.tau_shockwave)
+            if windowed:
+                tau_np = np.minimum(tau_np, scn.H - 1)
+            uniq = np.unique(tau_np)
+        if tau_np is not None and len(uniq) <= max(4, scn.H // 8):
+            tau_shock = jnp.asarray(tau_np)
+            cum_out_at = jnp.zeros_like(st.cum_out)
+            for v in uniq.tolist():
+                row = jax.lax.dynamic_index_in_dim(
+                    st.cum_out_ring,
+                    jnp.mod(jnp.maximum(t - int(v), 0), scn.H),
+                    axis=0, keepdims=False,
+                )
+                cum_out_at = jnp.where(jnp.asarray(tau_np == int(v)), row, cum_out_at)
+        else:
+            tau_shock = ep.tau_shockwave
+            if windowed:
+                # windowed-mode clamp; see _lookback_state for rationale
+                tau_shock = jnp.minimum(tau_shock, scn.H - 1)
+            cum_out_at = _ring_read(
+                st.cum_out_ring, jnp.maximum(t - tau_shock, 0), scn.H
+            )
     early = (t - tau_shock) < 0  # ts + 1 - tau_shockwave < 0
 
     rev_rand = _binom(key, num_peds[rev], 0.9, stochastic,
@@ -467,7 +529,7 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
     old = _ring_read(st.tt_ring, jnp.maximum(t - W, 0), W)
     run_sum = jnp.where(t >= W, run_sum - old, run_sum)
     avg_tt = jnp.where(t >= W, run_sum / W, ep.travel_time0)
-    tt_ring = st.tt_ring.at[:, t % W].set(travel_time)
+    tt_ring = st.tt_ring.at[t % W].set(travel_time)
 
     return num_peds, density, speed, travel_time, link_flow, avg_tt, run_sum, tt_ring
 
@@ -522,9 +584,9 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
     # 5) cumulative curves (node.py:146-162 via link.py:19-25)
     cum_in = st.cum_in + inflow_e
     cum_out = st.cum_out + outflow_e
-    cum_in_ring = st.cum_in_ring.at[:, t % scn.H].set(cum_in)
-    cum_out_ring = st.cum_out_ring.at[:, t % scn.H].set(cum_out)
-    inflow_ring = st.inflow_ring.at[:, t % scn.H].set(inflow_e)
+    cum_in_ring = st.cum_in_ring.at[t % scn.H].set(cum_in)
+    cum_out_ring = st.cum_out_ring.at[t % scn.H].set(cum_out)
+    inflow_ring = st.inflow_ring.at[t % scn.H].set(inflow_e)
 
     # 6) density/speed updates
     num_peds, density, speed, travel_time, link_flow, avg_tt, run_sum, tt_ring = (

@@ -1,3 +1,4 @@
-from .ncurve import fused_history_reads, diffusion_single_pass
+from .ncurve import (boundary_and_diffusion_reads, diffusion_single_pass,
+                     fused_history_reads)
 
 __all__ = ["fused_history_reads", "diffusion_single_pass"]

@@ -178,7 +178,10 @@ class DecentralizedOptimizationAgent:
         idx_t = time_step
         for i, e in enumerate(local):
             travel_gap = int(np.floor(lp.length[e] / (lp.free_flow_speed[e] * self.scn.unit_time)))
-            ext_in = inflow_hist[e, idx_t - travel_gap] if idx_t - travel_gap >= 0 else 0.0
+            ext_in = (
+                inflow_hist[(idx_t - travel_gap) % inflow_hist.shape[0], e]
+                if idx_t - travel_gap >= 0 else 0.0
+            )
             ext_out = outflow[e]
             if e in self.in_links:
                 N_next[i] += ext_in

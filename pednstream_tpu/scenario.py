@@ -171,14 +171,15 @@ class Scenario:
         width = jnp.asarray(lp.width, dtype=f)
         is_sep = self.is_separator
 
-        tt_ring = jnp.broadcast_to(self.travel_time0[:, None], (E, W)).astype(f32)
+        # rings are time-major [H, E] — see ops/ncurve.py layout rationale
+        tt_ring = jnp.broadcast_to(self.travel_time0[None, :], (W, E)).astype(f32)
 
         return NetworkState(
             t=jnp.asarray(1, dtype=jnp.int32),
             key=key,
-            cum_in_ring=jnp.zeros((E, H), dtype=f),
-            cum_out_ring=jnp.zeros((E, H), dtype=f),
-            inflow_ring=jnp.zeros((E, H), dtype=f),
+            cum_in_ring=jnp.zeros((H, E), dtype=f),
+            cum_out_ring=jnp.zeros((H, E), dtype=f),
+            inflow_ring=jnp.zeros((H, E), dtype=f),
             tt_ring=tt_ring,
             cum_in=jnp.zeros(E, dtype=f),
             cum_out=jnp.zeros(E, dtype=f),

@@ -59,11 +59,14 @@ class NetworkState:
     t: jnp.ndarray  # scalar int32, next time step to execute (starts at 1)
     key: jax.Array  # PRNG key (stochastic mode)
 
-    # ring buffers [E, H] (time index i lives at slot i % H)
+    # ring buffers, time-major [H, E] (time index i lives at row i % H).
+    # The links axis rides the TPU 128-lane dimension so windowed rings
+    # (H = 16..64) aren't padded to 128 lanes, and the per-step row write
+    # touches one contiguous tile row (see ops/ncurve.py).
     cum_in_ring: jnp.ndarray
     cum_out_ring: jnp.ndarray
     inflow_ring: jnp.ndarray
-    tt_ring: jnp.ndarray  # [E, W] float32
+    tt_ring: jnp.ndarray  # [W, E] float32
 
     # current scalars [E]
     cum_in: jnp.ndarray

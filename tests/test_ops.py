@@ -10,19 +10,21 @@ import jax.numpy as jnp
 
 def _data(E=64, H=50, seed=0):
     rng = np.random.default_rng(seed)
-    ring = jnp.asarray(rng.uniform(0, 40, (E, H)).astype(np.float32))
+    # rings are time-major [H, E]; coefs [4, E]
+    ring = jnp.asarray(rng.uniform(0, 40, (H, E)).astype(np.float32))
     base = jnp.asarray(rng.integers(-2, H, E).astype(np.int32))
-    coefs = jnp.asarray(rng.uniform(0, 1, (E, 4)).astype(np.float32))
+    coefs = jnp.asarray(rng.uniform(0, 1, (4, E)).astype(np.float32))
     return ring, base, coefs
 
 
 def _naive_diffusion(ring, base, coefs, H):
-    out = np.zeros(ring.shape[0])
-    for e in range(ring.shape[0]):
+    E = ring.shape[1]
+    out = np.zeros(E)
+    for e in range(E):
         for k in range(4):
             i = int(base[e]) - k
             if i >= 0:
-                out[e] += float(coefs[e, k]) * float(ring[e, i % H])
+                out[e] += float(coefs[k, e]) * float(ring[i % H, e])
     return out
 
 
@@ -30,7 +32,7 @@ def test_diffusion_single_pass():
     from pednstream_tpu.ops import diffusion_single_pass
 
     ring, base, coefs, = _data()
-    H = ring.shape[1]
+    H = ring.shape[0]
     got = np.asarray(diffusion_single_pass(ring, base, coefs, H))
     want = _naive_diffusion(np.asarray(ring), np.asarray(base), np.asarray(coefs), H)
     np.testing.assert_allclose(got, want, rtol=1e-5)
@@ -40,23 +42,23 @@ def test_fused_history_reads_interpret():
     from pednstream_tpu.ops import fused_history_reads
 
     ring, base, coefs = _data(E=70, H=40)  # E not a multiple of tile
-    H = ring.shape[1]
+    H, E = ring.shape
     rng = np.random.default_rng(1)
     ci_ring = jnp.asarray(rng.uniform(0, 100, ring.shape).astype(np.float32))
     co_ring = jnp.asarray(rng.uniform(0, 100, ring.shape).astype(np.float32))
-    idx_ci = jnp.asarray(rng.integers(0, H, ring.shape[0]).astype(np.int32))
-    idx_co = jnp.asarray(rng.integers(-3, H, ring.shape[0]).astype(np.int32))
+    idx_ci = jnp.asarray(rng.integers(0, H, E).astype(np.int32))
+    idx_co = jnp.asarray(rng.integers(-3, H, E).astype(np.int32))
 
     ci, co, diff = fused_history_reads(
         ci_ring, co_ring, ring, idx_ci, idx_co, base, coefs, H,
         tile=32, interpret=True,
     )
     want_ci = np.take_along_axis(
-        np.asarray(ci_ring), np.asarray(idx_ci)[:, None] % H, axis=1)[:, 0]
+        np.asarray(ci_ring), np.asarray(idx_ci)[None, :] % H, axis=0)[0]
     np.testing.assert_allclose(np.asarray(ci), want_ci, rtol=1e-6)
     want_co = np.where(
         np.asarray(idx_co) >= 0,
-        np.take_along_axis(np.asarray(co_ring), np.asarray(idx_co)[:, None] % H, axis=1)[:, 0],
+        np.take_along_axis(np.asarray(co_ring), np.asarray(idx_co)[None, :] % H, axis=0)[0],
         0.0,
     )
     np.testing.assert_allclose(np.asarray(co), want_co, rtol=1e-6)
@@ -120,3 +122,31 @@ def test_pallas_engine_path_identical():
                           stochastic=True, record=False)[0]))
     out = step(states)
     assert out.density.shape[0] == 4
+
+
+def test_boundary_and_diffusion_reads():
+    """One-pass cum-ring read == separate boundary read + inflow-ring
+    diffusion, given inflow[s] = cum_in[s] - cum_in[s-1]."""
+    from pednstream_tpu.ops import boundary_and_diffusion_reads, diffusion_single_pass
+
+    rng = np.random.default_rng(3)
+    E, H = 96, 24
+    # integer-valued cumulative curve, nondecreasing over time
+    infl = rng.integers(0, 20, (H, E)).astype(np.float32)
+    cum = np.cumsum(infl, axis=0)
+    cum_ring = jnp.asarray(cum)
+    inflow_ring = jnp.asarray(np.concatenate(
+        [cum[:1], cum[1:] - cum[:-1]], axis=0))
+    base = jnp.asarray(rng.integers(-2, H, E).astype(np.int32))
+    coefs = jnp.asarray(rng.uniform(0, 1, (4, E)).astype(np.float32))
+    idx_ci = jnp.asarray(rng.integers(-1, H, E).astype(np.int32))
+
+    ci, diff = boundary_and_diffusion_reads(cum_ring, idx_ci, base, coefs, H)
+    want_diff = diffusion_single_pass(inflow_ring, base, coefs, H)
+    np.testing.assert_allclose(np.asarray(diff), np.asarray(want_diff), rtol=1e-5)
+    want_ci = np.where(
+        np.asarray(idx_ci) >= 0,
+        np.take_along_axis(cum, np.asarray(idx_ci)[None, :] % H, axis=0)[0],
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(ci), want_ci, rtol=1e-6)
