@@ -28,7 +28,7 @@ STEPS = 100
 def main():
     import jax
 
-    from pednstream_tpu.engine import simulate, step_fn
+    from pednstream_tpu.engine import simulate, simulate_batched, step_fn
     from pednstream_tpu.generator import NetworkEnvGenerator
     from pednstream_tpu.scenario import build_scenario
 
@@ -43,13 +43,9 @@ def main():
     )
     ep = scn.engine_params
 
-    def rollout(st):
-        def body(s, _):
-            s, _ = step_fn(scn, ep, s, stochastic=True, record=False)
-            return s, None
-        return jax.lax.scan(body, st, None, length=STEPS)[0]
-
-    run = jax.jit(jax.vmap(rollout))
+    run = jax.jit(
+        lambda ss: simulate_batched(scn, ep, ss, STEPS, stochastic=True)
+    )
     states = jax.vmap(scn.init_state)(jax.random.split(jax.random.PRNGKey(0), BATCH))
     out = run(states)
     jax.block_until_ready(out.density)
@@ -58,16 +54,18 @@ def main():
     times = []
     for i in range(3):
         # fresh PRNG keys per run (identical repeated executions can be
-        # replay-cached by the remote runtime), and HOST MATERIALIZATION
-        # of the result (block_until_ready can return on a fire-ahead ack
-        # before the remote execution completes)
+        # replay-cached by the remote runtime), and a DEVICE-SIDE checksum
+        # reduction whose host read is a true data dependency
+        # (block_until_ready can return on a fire-ahead ack before the
+        # remote execution completes; materializing the full [B, E] array
+        # would time the SSH-tunnel transfer, not the engine)
         states = jax.vmap(scn.init_state)(
             jax.random.split(jax.random.PRNGKey(i + 1), BATCH)
         )
         _np.asarray(states.density)
         t0 = time.time()
         out = run(states)
-        checksum = float(_np.asarray(out.num_peds).sum())
+        checksum = float(out.num_peds.sum())
         times.append(time.time() - t0)
     assert checksum > 0, "engine produced an empty network"
     agg = STEPS * BATCH / min(times)
@@ -83,14 +81,10 @@ def main():
     )
     ep_g = scn_g.engine_params
 
-    def rollout_g(st):
-        def body(s, _):
-            s, _ = step_fn(scn_g, ep_g, s, stochastic=True, record=False)
-            return s, None
-        return jax.lax.scan(body, st, None, length=STEPS)[0]
-
-    B_G = 32  # 9,800-link state is ~10x melbourne; keep HBM in check
-    run_g = jax.jit(jax.vmap(rollout_g))
+    B_G = 128  # 9,800-link rings at H=64: ~1GB of state, well within HBM
+    run_g = jax.jit(
+        lambda ss: simulate_batched(scn_g, ep_g, ss, STEPS, stochastic=True)
+    )
     states_g = jax.vmap(scn_g.init_state)(
         jax.random.split(jax.random.PRNGKey(0), B_G)
     )
@@ -103,7 +97,7 @@ def main():
         _np.asarray(states_g.density)
         t0 = time.time()
         out_g = run_g(states_g)
-        checksum_g = float(_np.asarray(out_g.num_peds).sum())
+        checksum_g = float(out_g.num_peds.sum())
         times_g.append(time.time() - t0)
     assert checksum_g > 0
     grid10k = STEPS * B_G / min(times_g)

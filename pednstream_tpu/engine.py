@@ -317,9 +317,14 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
 
 
 def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochastic,
-                     hist=None):
+                     hist=None, tau_shock_np=None):
     """Vectorized cal_receiving_flow(_with_reverse) (link.py:372-416) and
-    the Separator variant (link.py:480-512)."""
+    the Separator variant (link.py:480-512).
+
+    tau_shock_np: concrete per-link tau_shockwave when it is a
+    compile-time constant (step_fn extracts it BEFORE promoting
+    EngineParams leaves to jnp — see the staging note there), else None.
+    """
     f = scn.ftype
     rev = scn.reverse_idx
     dt = scn.unit_time
@@ -335,9 +340,7 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
     else:
         windowed = scn.H < scn.simulation_steps + 1
         tau_np = None
-        if not getattr(scn, "exact_parity", False) and not isinstance(
-            ep.tau_shockwave, jax.core.Tracer
-        ):
+        if not getattr(scn, "exact_parity", False) and tau_shock_np is not None:
             # tau_shockwave is a compile-time constant (the common case —
             # it only becomes traced under per-replica domain
             # randomization).  When it takes few distinct values, replace
@@ -345,7 +348,7 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
             # read per distinct lookback: D*E bytes instead of H*E.  On a
             # uniform-length network (D == 1) this removes a third of the
             # engine's ring bandwidth outright.
-            tau_np = np.asarray(ep.tau_shockwave)
+            tau_np = tau_shock_np
             if windowed:
                 tau_np = np.minimum(tau_np, scn.H - 1)
             uniq = np.unique(tau_np)
@@ -535,14 +538,34 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
 
 
 def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
-            record: bool = True) -> Tuple[NetworkState, Optional[StepOutputs]]:
-    """One full network_loading(t) step as a pure function."""
+            record: bool = True, t_shared=None
+            ) -> Tuple[NetworkState, Optional[StepOutputs]]:
+    """One full network_loading(t) step as a pure function.
+
+    t_shared: optional scalar time index shared across a lockstep batch.
+    When ``step_fn`` is vmapped, ``st.t`` is per-replica, so the ring-row
+    writes ``ring.at[t % H].set(x)`` batch into scatters and the
+    ``od_table[:, t]`` read into a gather — on TPU these were ~25% of
+    the batched step.  Passing the (identical) time as an UNBATCHED
+    scalar closed over by the vmap turns them back into single
+    dynamic-(update-)slices.  Batched lockstep callers do
+    ``t0 = states.t[0]`` outside the vmap and pass it here; semantics
+    are identical whenever all replicas share the same t (asserted
+    nowhere — callers own the lockstep invariant, which holds for every
+    batched path in this package: episodes reset together).
+    """
+    # Static-constant analysis MUST read the caller's leaves before the
+    # asarray promotion below: jnp.asarray stages even concrete NumPy
+    # constants as tracers while tracing, which would defeat the
+    # distinct-tau row-read fast path in _receiving_flows.
+    raw_ts = ep.tau_shockwave
+    tau_shock_np = None if isinstance(raw_ts, jax.core.Tracer) else np.asarray(raw_ts)
     # EngineParams may carry NumPy leaves (backend-independent scenario
     # constants); promote to jnp so traced indexing works.  No-op for
     # already-traced/device values.
     ep = jax.tree_util.tree_map(jnp.asarray, ep)
     f = scn.ftype
-    t = st.t
+    t = st.t if t_shared is None else t_shared
 
     key = st.key
     if stochastic:
@@ -576,7 +599,8 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
         phi = ep.phi_base
 
     # 3) receiving flows (needs S of reverse links)
-    R = _receiving_flows(scn, ep, st, t, S, k_rev, stochastic, hist=hist)
+    R = _receiving_flows(scn, ep, st, t, S, k_rev, stochastic, hist=hist,
+                         tau_shock_np=tau_shock_np)
 
     # 4) node merge/diverge + write-back
     inflow_e, outflow_e, virt_dep, virt_arr = _node_solve(scn, ep, st, t, S, R, phi)
@@ -594,7 +618,7 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
     )
 
     new_state = st.replace(
-        t=t + 1,
+        t=st.t + 1,
         key=key,
         cum_in_ring=cum_in_ring,
         cum_out_ring=cum_out_ring,
@@ -644,6 +668,38 @@ def make_step(scn, stochastic: bool = False, record: bool = False,
         return step_fn(scn, ep, st, stochastic=stochastic, record=record)
 
     return _step
+
+
+def simulate_batched(scn, ep: EngineParams, states: NetworkState,
+                     num_steps: int, stochastic: bool = False,
+                     ep_batched: bool = False) -> NetworkState:
+    """Lockstep rollout over a batch of replicas: scan OUTSIDE, vmap
+    inside, with the shared per-step time closed over each vmap as an
+    unbatched scalar (see ``step_fn`` ``t_shared``) — ring-row writes
+    compile to dynamic-update-slices instead of per-replica scatters.
+
+    ``states`` carries a leading batch axis on every leaf; all replicas
+    must share the same ``t`` (they do for every batched path in this
+    package).  ``ep_batched=True`` for per-replica EngineParams (domain
+    randomization).  Returns the final batched state.
+    """
+    t0 = states.t[0]
+    ts = t0 + jnp.arange(num_steps, dtype=jnp.int32)
+
+    def body(ss, tcur):
+        if ep_batched:
+            ss = jax.vmap(
+                lambda s, e: step_fn(scn, e, s, stochastic=stochastic,
+                                     record=False, t_shared=tcur)[0]
+            )(ss, ep)
+        else:
+            ss = jax.vmap(
+                lambda s: step_fn(scn, ep, s, stochastic=stochastic,
+                                  record=False, t_shared=tcur)[0]
+            )(ss)
+        return ss, None
+
+    return jax.lax.scan(body, states, ts)[0]
 
 
 def simulate(scn, ep: EngineParams, state: NetworkState, num_steps: int,

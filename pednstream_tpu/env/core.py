@@ -223,22 +223,27 @@ class PedNetEnvCore:
     # -- step/reset ------------------------------------------------------------
 
     def _step_impl(self, st: NetworkState, actions: Dict[str, jnp.ndarray],
-                   ep=None):
+                   ep=None, t_shared=None):
         ep = self.scn.engine_params if ep is None else ep
         st = self._apply_actions(st, actions)
 
-        def body(carry, _):
+        def body(carry, tcur):
             s, acc = carry
             s, o = step_fn(self.scn, ep, s,
-                           stochastic=self.stochastic, record=self.record)
+                           stochastic=self.stochastic, record=self.record,
+                           t_shared=tcur)
             r = self._rewards(s, ep)
             acc = {k: acc[k] + r[k] for k in r}
             return (s, acc), o
 
         zero_r = {k: jnp.zeros((), jnp.float32) for k in self._rewards(st, ep)}
-        # action_gap engine steps per RL step (pz_pednet_env.py:225-247)
+        # action_gap engine steps per RL step (pz_pednet_env.py:225-247);
+        # in lockstep-batched mode the per-substep time rides the scan xs
+        # as an unbatched scalar (see engine.step_fn t_shared)
+        ts = None if t_shared is None else t_shared + jnp.arange(
+            self.action_gap, dtype=jnp.int32)
         (st, rewards_acc), outs = jax.lax.scan(
-            body, (st, zero_r), None, length=self.action_gap
+            body, (st, zero_r), ts, length=self.action_gap
         )
         obs = self._observations(st)
         done = st.t > self.scn.simulation_steps  # sim_step >= simulation_steps
@@ -262,7 +267,16 @@ class PedNetEnvCore:
     @property
     def _jit_batch_step(self):
         if not hasattr(self, "_jit_batch_step_fn"):
-            self._jit_batch_step_fn = jax.jit(jax.vmap(self._step_impl))
+            # t is identical across lockstep replicas: close it over the
+            # vmap as an unbatched scalar so ring-row writes stay
+            # dynamic-update-slices instead of batching into scatters
+            def _batched(states, actions):
+                t0 = states.t[0]
+                return jax.vmap(
+                    lambda s, a: self._step_impl(s, a, t_shared=t0)
+                )(states, actions)
+
+            self._jit_batch_step_fn = jax.jit(_batched)
         return self._jit_batch_step_fn
 
     def batch_reset(self, keys: jax.Array):
@@ -278,9 +292,13 @@ class PedNetEnvCore:
     @property
     def _jit_batch_step_randomized(self):
         if not hasattr(self, "_jit_batch_step_rand_fn"):
-            self._jit_batch_step_rand_fn = jax.jit(
-                jax.vmap(self._step_impl, in_axes=(0, 0, 0))
-            )
+            def _batched(states, actions, eps):
+                t0 = states.t[0]
+                return jax.vmap(
+                    lambda s, a, e: self._step_impl(s, a, e, t_shared=t0)
+                )(states, actions, eps)
+
+            self._jit_batch_step_rand_fn = jax.jit(_batched)
         return self._jit_batch_step_rand_fn
 
     def batch_step_randomized(self, states, actions, engine_params):

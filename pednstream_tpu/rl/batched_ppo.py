@@ -274,11 +274,16 @@ class BatchedPPOTrainer:
     # -- rollout ------------------------------------------------------------------
 
     def _env_step(self, env_states, env_actions, eps):
+        # replicas step in lockstep: pass t as an unbatched scalar so ring
+        # writes stay dynamic-update-slices (engine.step_fn t_shared)
+        t0 = env_states.t[0]
         if self.randomize:
-            return jax.vmap(self.core._step_impl, in_axes=(0, 0, 0))(
-                env_states, env_actions, eps
-            )
-        return jax.vmap(self.core._step_impl)(env_states, env_actions)
+            return jax.vmap(
+                lambda s, a, e: self.core._step_impl(s, a, e, t_shared=t0)
+            )(env_states, env_actions, eps)
+        return jax.vmap(
+            lambda s, a: self.core._step_impl(s, a, t_shared=t0)
+        )(env_states, env_actions)
 
     def _rollout(self, ts: TrainerState, key):
         def step(carry, k):

@@ -19,7 +19,7 @@ import numpy as np
 def measure(scn, batch, steps, warm=True, seed0=1):
     import jax
 
-    from pednstream_tpu.engine import step_fn
+    from pednstream_tpu.engine import simulate_batched, step_fn
 
     ep = scn.engine_params
 
@@ -33,7 +33,8 @@ def measure(scn, batch, steps, warm=True, seed0=1):
         run = jax.jit(rollout)
         mk = lambda k: scn.init_state(k)
     else:
-        run = jax.jit(jax.vmap(rollout))
+        run = jax.jit(lambda ss: simulate_batched(scn, ep, ss, steps,
+                                                  stochastic=True))
         mk = lambda k: jax.vmap(scn.init_state)(jax.random.split(k, batch))
 
     out = run(mk(jax.random.PRNGKey(0)))
@@ -44,7 +45,9 @@ def measure(scn, batch, steps, warm=True, seed0=1):
         np.asarray(st.density)  # host materialization fence
         t0 = time.time()
         out = run(st)
-        _ = float(np.asarray(out.num_peds).sum())  # fence again
+        # device-side checksum: a true data dependency without timing the
+        # full-array transfer through the SSH tunnel
+        _ = float(out.num_peds.sum())
         times.append(time.time() - t0)
     return steps * batch / min(times)
 
