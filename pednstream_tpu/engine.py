@@ -429,7 +429,10 @@ def _node_solve(scn, ep: EngineParams, st: NetworkState, t, S, R, phi):
     s_pad = jnp.where(scn.slot_valid, s_pad, 0.0)
 
     r_pad = jnp.where(out_idx >= 0, R[out_safe], 0.0)
-    r_pad = jnp.where(virt_slot, scn.big_m, r_pad)  # node.py:187 (M = 1e6)
+    # virtual-slot receiving: big-M for active OD nodes (node.py:187,
+    # M = 1e6), 0 for OD candidates deactivated by per-replica
+    # randomization (ep.virt_recv)
+    r_pad = jnp.where(virt_slot, ep.virt_recv[:, None].astype(f), r_pad)
     r_pad = jnp.where(scn.slot_valid, r_pad, 0.0)
 
     if scn.assign_flows_type == "optimal":

@@ -41,6 +41,7 @@ class PedNetParallelEnv(ParallelEnv):
         data_dir: Optional[str] = None,
         record_history: bool = False,
         history_window: Optional[int] = None,
+        od_randomize: bool = False,
     ):
         super().__init__()
         self.render_mode = render_mode
@@ -53,7 +54,13 @@ class PedNetParallelEnv(ParallelEnv):
         self.env_generator = NetworkEnvGenerator(
             data_dir=data_dir, history_window=history_window
         )
-        self.scn = self.env_generator.create_network(dataset, verbose=verbose)
+        if od_randomize:
+            # superset topology whose candidate OD nodes open/close per
+            # replica in-vmap (randomize.py); replaces the reference's
+            # host-side OD rebuild (env_loader.py:261-359)
+            self.scn = self.env_generator.build_od_randomizable(dataset)
+        else:
+            self.scn = self.env_generator.create_network(dataset, verbose=verbose)
         self.simulation_steps = self.scn.simulation_steps
 
         self.normalize_obs = normalize_obs

@@ -149,6 +149,59 @@ class NetworkEnvGenerator:
         )
         return self.scenario
 
+    def build_od_randomizable(self, dataset: str, hop: int = 2,
+                              **build_kwargs) -> Scenario:
+        """Scenario whose OD-node set randomizes IN-VMAP (per replica,
+        on device) instead of through the reference's host-side rebuild
+        (env_loader.py:261-359).
+
+        Computes the same k-hop candidate pools the reference's OD edit
+        moves draw from (``generate_random_od_nodes``), builds the
+        superset topology via ``build_scenario(od_candidates=...)``, and
+        leaves per-replica activation to
+        ``randomize.randomize_engine_params``.
+        """
+        if self.network_data is None or getattr(self, "_loaded_dataset", None) != dataset:
+            self.network_data = self.load_network_data(dataset)
+            self._loaded_dataset = dataset
+        adj = np.asarray(self.network_data["adjacency_matrix"])
+        controller_nodes = self._controller_nodes()
+        origins = list(self.config.get("origin_nodes", []))
+        dests = list(self.config.get("destination_nodes", []))
+
+        def khop(node_list):
+            nb = set()
+            for node in node_list:
+                nb.update(np.where(adj[node, :] == 1)[0].tolist())
+            if hop == 2:
+                hop2 = set()
+                for n in nb:
+                    hop2.update(np.where(adj[n, :] == 1)[0].tolist())
+                nb.update(hop2)
+            return nb
+
+        cand_o = sorted(int(n) for n in khop(origins)
+                        if n not in origins and n not in controller_nodes)
+        cand_d = sorted(int(n) for n in khop(dests)
+                        if n not in dests and n not in controller_nodes)
+        kwargs = {}
+        if self.ftype is not None:
+            kwargs["ftype"] = self.ftype
+        if self.history_window is not None:
+            kwargs["history_window"] = self.history_window
+        kwargs.update(build_kwargs)
+        self.config["params"].setdefault("links", {})
+        return build_scenario(
+            adjacency_matrix=self.network_data["adjacency_matrix"],
+            params=self.config["params"],
+            origin_nodes=origins,
+            destination_nodes=dests,
+            od_flows=self.config.get("od_flows", None),
+            pos=self.network_data.get("node_positions"),
+            od_candidates=(cand_o, cand_d),
+            **kwargs,
+        )
+
     def randomize_network(self, dataset: str, seed: Optional[int] = None,
                           verbose: bool = False) -> Scenario:
         """Randomized scenario (env_loader.py:160-181)."""

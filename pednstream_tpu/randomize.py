@@ -5,9 +5,13 @@ link capacity/speed incidents on ~20% of corridors, randomized demand
 levels, randomized OD flow weights).  For batched TPU training those
 perturbations must ride in a vmappable pytree: this module draws a
 randomized :class:`EngineParams` per replica with the same perturbation
-distributions (OD-node-set randomization changes topology and stays a
-host-side rebuild; demand randomization perturbs levels rather than
-re-drawing Poisson curves).
+distributions (demand randomization perturbs levels rather than
+re-drawing Poisson curves).  OD-node-set randomization — a topology
+edit in the reference — rides in-vmap too when the scenario was built
+with ``od_candidates`` (superset topology whose candidate OD nodes are
+opened/closed per replica through demand rows, od_table weights, and
+the virtual-slot receiving capacity ``EngineParams.virt_recv``); see
+``NetworkEnvGenerator.build_od_randomizable``.
 """
 
 from typing import Tuple
@@ -21,11 +25,14 @@ from .state import EngineParams
 def randomize_engine_params(scn, key: jax.Array) -> EngineParams:
     """One randomized EngineParams draw (same distributions as
     env_loader.py:363-424 for link incidents, :183-259 for demand/OD
-    levels)."""
+    levels; OD-node activation mirroring the k-hop edit moves of
+    env_loader.py:261-359 when the scenario was built with
+    ``od_candidates``)."""
     ep = jax.tree_util.tree_map(jnp.asarray, scn.engine_params)
     E = scn.n_links
     nc = E // 2
-    k_sel, k_cap, k_capf, k_spd, k_spdf, k_dem, k_od = jax.random.split(key, 7)
+    (k_sel, k_cap, k_capf, k_spd, k_spdf, k_dem, k_od,
+     k_oact, k_dact) = jax.random.split(key, 9)
 
     # ~20% of corridors get an incident (both directions identically)
     corridor_hit = jax.random.uniform(k_sel, (nc,)) < 0.2
@@ -51,16 +58,48 @@ def randomize_engine_params(scn, key: jax.Array) -> EngineParams:
     # temporal shape.  (Scaling by the nominal level instead — an earlier
     # version — made randomized worlds far MORE jammed than the
     # reference's, drowning the RL signal.)
+    # OD-node activation (in-vmap analog of the reference's k-hop OD
+    # edits, env_loader.py:261-359: p=0.5 add 1-2 two-hop neighbours,
+    # p=0.5 drop, p=0.5 swap — approximated here as independent
+    # activations: nominal nodes stay active w.p. 0.75, candidates open
+    # w.p. 0.3; a replica whose draw empties a side falls back to the
+    # nominal set, mirroring the reference's "keep at least one" guards)
+    if getattr(scn, "od_randomizable", False):
+        nom_o = jnp.asarray(scn.nominal_origin_mask)
+        nom_d = jnp.asarray(scn.nominal_dest_mask)
+        cand_o = jnp.asarray(scn.candidate_origin_mask)
+        cand_d = jnp.asarray(scn.candidate_dest_mask)
+        u_o = jax.random.uniform(k_oact, (scn.n_nodes,))
+        u_d = jax.random.uniform(k_dact, (scn.n_nodes,))
+        o_act = (nom_o & (u_o < 0.75)) | (cand_o & (u_o < 0.3))
+        d_act = (nom_d & (u_d < 0.75)) | (cand_d & (u_d < 0.3))
+        o_act = jnp.where(o_act.any(), o_act, nom_o)
+        d_act = jnp.where(d_act.any(), d_act, nom_d)
+        base_demand = jnp.asarray(scn.demand_full) * o_act[:, None]
+        pair_act = (o_act[jnp.asarray(scn.od_pair_origin)]
+                    & d_act[jnp.asarray(scn.od_pair_dest)])
+        virt_recv = jnp.where(
+            jnp.asarray(scn.has_virtual) & (o_act | d_act), 1e6, 0.0
+        ).astype(ep.virt_recv.dtype)
+    else:
+        base_demand = ep.demand
+        pair_act = None
+        virt_recv = ep.virt_recv
+
     T = ep.demand.shape[1]
-    nom_mean = ep.demand.sum(axis=1) / T  # per-node mean rate
+    nom_mean = base_demand.sum(axis=1) / T  # per-node mean rate
     target_mean = jax.random.uniform(k_dem, (scn.n_nodes,), minval=4.0,
                                      maxval=18.0)  # mid base..peak band
     dem_scale = jnp.where(nom_mean > 0, target_mean / jnp.maximum(nom_mean, 1e-6), 1.0)
-    demand = ep.demand * dem_scale[:, None]
+    demand = base_demand * dem_scale[:, None]
 
-    # OD flow weights: U(1, 10) per pair (env_loader.py:224-259)
+    # OD flow weights: U(1, 10) per pair (env_loader.py:224-259); pairs
+    # touching a deactivated OD node carry zero weight so the dynamic
+    # turning fractions route no flow toward closed destinations
     if ep.od_table.shape[0] > 0:
         w = jax.random.uniform(k_od, (ep.od_table.shape[0],), minval=1.0, maxval=10.0)
+        if pair_act is not None:
+            w = w * pair_act
         od_table = jnp.broadcast_to(w[:, None], ep.od_table.shape)
     else:
         od_table = ep.od_table
@@ -80,6 +119,7 @@ def randomize_engine_params(scn, key: jax.Array) -> EngineParams:
         free_flow_speed=ffs.astype(ep.free_flow_speed.dtype),
         demand=demand.astype(ep.demand.dtype),
         od_table=od_table.astype(ep.od_table.dtype),
+        virt_recv=virt_recv,
         **derived,
     )
 

@@ -229,20 +229,50 @@ def build_scenario(
     binomial_mode: str = "exact",
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    od_candidates: Optional[Tuple[List[int], List[int]]] = None,
 ) -> Scenario:
     """Compile a scenario (reference Network.__init__, network.py:56-121).
 
     demand_pattern: optional list of custom demand callables registered by
     __name__ (network.py:88-93).
+
+    od_candidates: optional ``(candidate_origins, candidate_destinations)``
+    for in-vmap OD-node randomization.  The topology, demand curves, and
+    routing tables are built over the UNION of nominal and candidate OD
+    nodes, but candidate nodes start INACTIVE (zero demand row, zero
+    od_table rows, zero virtual receiving) — per-replica activation rides
+    EngineParams (pednstream_tpu.randomize), replacing the reference's
+    host-side network rebuild per episode (env_loader.py:261-359).
+    Note the nominal dynamics are a close approximation, not bit-equal,
+    to the plain build: candidate nodes carry inert virtual links and
+    extra zero-flow routing paths.
     """
     destination_nodes = destination_nodes or []
-    topo = build_topology(adjacency_matrix, params, origin_nodes, destination_nodes)
+    cand_origins: List[int] = []
+    cand_dests: List[int] = []
+    if od_candidates is not None:
+        cand_origins = [n for n in od_candidates[0] if n not in origin_nodes]
+        cand_dests = [n for n in od_candidates[1] if n not in destination_nodes]
+    origins_eff = list(origin_nodes) + cand_origins
+    dests_eff = list(destination_nodes) + cand_dests
+    topo = build_topology(adjacency_matrix, params, origins_eff, dests_eff)
 
-    # demand curves, generated in node-creation order for RNG parity
+    # demand curves, generated in node-creation order for RNG parity.
+    # Candidate origins draw from a SEPARATE seeded pass so the nominal
+    # origins' curves stay identical to the plain build.
     T = int(params["simulation_steps"])
     virtual_nodes = [n for n in topo.node_creation_order if topo.has_virtual[n]]
     custom = {f.__name__: f for f in (demand_pattern or [])}
     demands = build_demand_table(T, params, list(origin_nodes), virtual_nodes, custom)
+    if cand_origins:
+        params_cand = dict(params)
+        params_cand["seed"] = int(params.get("seed") or 0) + 10007
+        demands_cand = build_demand_table(
+            T, params_cand, cand_origins, virtual_nodes, custom
+        )
+        for node_id in cand_origins:
+            if node_id in demands_cand:
+                demands[node_id] = demands_cand[node_id]
     demand_table = np.zeros((topo.n_nodes, T + 1), dtype=np.float64)
     for node_id, arr in demands.items():
         demand_table[node_id, : len(arr)] = arr[: T + 1]
@@ -250,10 +280,11 @@ def build_scenario(
     od_manager = None
     routing = None
     builder = None
+    od_pairs: List[Tuple[int, int]] = []
     od_table = np.zeros((0, T + 1), dtype=np.float64)
-    if destination_nodes:
+    if dests_eff:
         od_manager = ODManager(T)
-        od_manager.init_od_flows(list(origin_nodes), list(destination_nodes), od_flows)
+        od_manager.init_od_flows(origins_eff, dests_eff, od_flows)
         od_pairs, od_table = od_manager.dense_table()
 
         _, controller_nodes, _, controller_links = parse_controllers(params)
@@ -267,6 +298,34 @@ def build_scenario(
     derived = derive_link_constants(
         lp.length, lp.free_flow_speed, lp.k_critical, lp.k_jam, unit_time
     )
+
+    # nominal OD activation: candidates start closed (demand, od rows,
+    # virtual receiving all zero) — randomize.py opens them per replica
+    N = topo.n_nodes
+    nominal_o = np.zeros(N, dtype=bool)
+    nominal_o[list(origin_nodes)] = True
+    nominal_d = np.zeros(N, dtype=bool)
+    if destination_nodes:
+        nominal_d[list(destination_nodes)] = True
+    demand_full = demand_table.copy()
+    demand_nominal = demand_table * nominal_o[:, None]
+    od_po = np.asarray([p[0] for p in od_pairs], dtype=np.int64)
+    od_pd = np.asarray([p[1] for p in od_pairs], dtype=np.int64)
+    if len(od_pairs):
+        pair_nominal = nominal_o[od_po] & nominal_d[od_pd]
+        od_table_nominal = od_table * pair_nominal[:, None]
+    else:
+        od_table_nominal = od_table
+    virt_recv = np.where(
+        np.asarray(topo.has_virtual) & (nominal_o | nominal_d), 1e6, 0.0
+    )
+    if od_candidates is None:
+        # plain build: every virtual-link node keeps its big-M slot
+        # (bit-equal to the pre-virt_recv behavior, node.py:187)
+        virt_recv = np.where(np.asarray(topo.has_virtual), 1e6, 0.0)
+        demand_nominal = demand_table
+        od_table_nominal = od_table
+
     ep = EngineParams(
         length=np.asarray(lp.length, dtype=npdt),
         width=np.asarray(lp.width, dtype=npdt),
@@ -277,9 +336,10 @@ def build_scenario(
         bi_factor=np.asarray(lp.bi_factor, dtype=npdt),
         activity_probability=np.asarray(lp.activity_probability, dtype=npdt),
         speed_noise_std=np.asarray(lp.speed_noise_std, dtype=npdt),
-        demand=np.asarray(demand_table, dtype=npdt),
-        od_table=np.asarray(od_table, dtype=npdt),
+        demand=np.asarray(demand_nominal, dtype=npdt),
+        od_table=np.asarray(od_table_nominal, dtype=npdt),
         phi_base=np.asarray(_build_phi_base(topo, ftype)),
+        virt_recv=np.asarray(virt_recv, dtype=npdt),
         max_travel_time=derived["max_travel_time"],
         travel_time0=derived["travel_time0"],
         tt_freeflow32=derived["tt_freeflow32"],
@@ -287,7 +347,7 @@ def build_scenario(
         tau_shockwave=derived["tau_shockwave"],
     )
 
-    return Scenario(
+    scn = Scenario(
         topo=topo,
         params=params,
         origin_nodes=list(origin_nodes),
@@ -304,3 +364,19 @@ def build_scenario(
         use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
     )
+    # in-vmap OD-node randomization metadata (see randomize.py)
+    scn.od_randomizable = od_candidates is not None
+    if scn.od_randomizable:
+        cand_o_mask = np.zeros(N, dtype=bool)
+        cand_o_mask[cand_origins] = True
+        cand_d_mask = np.zeros(N, dtype=bool)
+        cand_d_mask[cand_dests] = True
+        scn.nominal_origin_mask = nominal_o
+        scn.nominal_dest_mask = nominal_d
+        scn.candidate_origin_mask = cand_o_mask
+        scn.candidate_dest_mask = cand_d_mask
+        scn.demand_full = demand_full
+        scn.od_pair_origin = od_po
+        scn.od_pair_dest = od_pd
+        scn.od_table_full = od_table
+    return scn

@@ -39,6 +39,12 @@ class EngineParams:
     demand: jnp.ndarray  # [N, T+1]
     od_table: jnp.ndarray  # [P, T+1]
     phi_base: jnp.ndarray  # [N, M, M] static equal turning fractions
+    # Per-node virtual-slot receiving capacity: big-M (1e6, node.py:22)
+    # where the node's virtual link is ACTIVE, 0 elsewhere.  Per-replica
+    # so in-vmap OD-node randomization can open/close origin/destination
+    # nodes (reference env_loader.py:261-359 rebuilds the network
+    # host-side instead).
+    virt_recv: jnp.ndarray  # [N]
 
     # Derived per-link constants (link.py:61-91).  These follow the
     # *current* physical parameters above, so a replica whose speed or

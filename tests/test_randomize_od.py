@@ -1,0 +1,90 @@
+"""In-vmap OD-node randomization (reference env_loader.py:261-359 does
+topology rebuilds host-side; here candidate OD nodes open/close per
+replica through EngineParams — see scenario.build_scenario
+``od_candidates`` and randomize.randomize_engine_params)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pednstream_tpu.engine import simulate, simulate_batched
+from pednstream_tpu.generator import NetworkEnvGenerator
+from pednstream_tpu.randomize import (randomize_engine_params,
+                                      randomize_engine_params_batched)
+
+
+@pytest.fixture(scope="module")
+def scn():
+    gen = NetworkEnvGenerator()
+    return gen.build_od_randomizable("butterfly_scC")
+
+
+def test_superset_build_nominal_inert(scn):
+    """Candidate OD nodes exist in the topology but start closed: zero
+    demand rows, zero virtual receiving, zero od_table rows."""
+    assert scn.od_randomizable
+    assert scn.candidate_origin_mask.sum() > 0
+    assert scn.candidate_dest_mask.sum() > 0
+    ep = scn.engine_params
+    cand = scn.candidate_origin_mask | scn.candidate_dest_mask
+    nom = scn.nominal_origin_mask | scn.nominal_dest_mask
+    cand_only = cand & ~nom
+    assert np.asarray(ep.demand)[scn.candidate_origin_mask
+                                 & ~scn.nominal_origin_mask].sum() == 0
+    assert np.asarray(ep.virt_recv)[cand_only].sum() == 0
+    assert np.asarray(ep.virt_recv)[nom].min() > 0
+    # demand curves for candidates were generated (available to open)
+    assert scn.demand_full[scn.candidate_origin_mask].sum() > 0
+    pair_cand = (scn.candidate_origin_mask[scn.od_pair_origin]
+                 | scn.candidate_dest_mask[scn.od_pair_dest])
+    assert np.asarray(ep.od_table)[pair_cand].sum() == 0
+
+
+def test_randomized_draws_open_candidates(scn):
+    """Across draws, candidate nodes sometimes activate, nominal nodes
+    sometimes drop, and no draw empties either side."""
+    opened = dropped = 0
+    for i in range(16):
+        ep = randomize_engine_params(scn, jax.random.PRNGKey(i))
+        vr = np.asarray(ep.virt_recv) > 0
+        cand_only = ((scn.candidate_origin_mask | scn.candidate_dest_mask)
+                     & ~(scn.nominal_origin_mask | scn.nominal_dest_mask))
+        opened += int(vr[cand_only].any())
+        # demand restricted to active origins
+        dem_nodes = np.asarray(ep.demand).sum(axis=1) > 0
+        assert dem_nodes.sum() > 0  # never empty
+        assert (dem_nodes <= vr).all()  # injecting nodes are active
+        dropped += int((~dem_nodes & scn.nominal_origin_mask).any())
+    assert opened > 0
+    assert dropped > 0
+
+
+def test_closed_destination_absorbs_nothing(scn):
+    """Zeroing a destination's virt_recv stops all exits there."""
+    ep = scn.engine_params
+    dest = int(np.where(scn.nominal_dest_mask)[0][0])
+    vr = np.asarray(ep.virt_recv).copy()
+    vr[dest] = 0.0
+    ep_closed = ep.replace(virt_recv=jnp.asarray(vr))
+    st = scn.init_state(jax.random.PRNGKey(0))
+    fin_open, _ = simulate(scn, ep, st, 80, record=False)
+    fin_closed, _ = simulate(scn, ep_closed, st, 80, record=False)
+    arr_open = np.asarray(fin_open.virt_arr_cum)  # [N] per-node arrivals
+    arr_closed = np.asarray(fin_closed.virt_arr_cum)
+    assert arr_open[dest] > 0
+    assert arr_closed[dest] == 0
+
+
+def test_batched_od_randomized_rollout(scn):
+    B = 8
+    eps = randomize_engine_params_batched(scn, jax.random.PRNGKey(3), B)
+    vr = np.asarray(eps.virt_recv)
+    assert len({tuple(row) for row in (vr > 0).astype(int)}) > 1, (
+        "replicas should draw different OD activations")
+    sts = jax.vmap(scn.init_state)(jax.random.split(jax.random.PRNGKey(4), B))
+    fin = simulate_batched(scn, eps, sts, 60, stochastic=True, ep_batched=True)
+    npd = np.asarray(fin.num_peds)
+    assert np.isfinite(npd).all()
+    err = np.abs((np.asarray(fin.cum_in) - np.asarray(fin.cum_out)) - npd)
+    assert err.max() < 1e-2  # f32 mass conservation (fractional demand)
