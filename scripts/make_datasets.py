@@ -79,8 +79,8 @@ def materialize(name: str):
             shutil.copyfile(sp, dp)
         else:
             saver(dp, loader(sp))
-    # melbourne sensor demand feed
-    for extra in ("melbourne.csv",):
+    # melbourne sensor demand feed + sensor-to-node mapping
+    for extra in ("melbourne.csv", "melbourne_sensor_locations.csv"):
         sp = os.path.join(src, extra)
         if os.path.exists(sp):
             shutil.copyfile(sp, os.path.join(OUT, name, extra))
