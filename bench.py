@@ -46,9 +46,11 @@ def main():
     run = jax.jit(
         lambda ss: simulate_batched(scn, ep, ss, STEPS, stochastic=True)
     )
+    # warm-run fence must be a host read of the output: block_until_ready
+    # can return on a fire-ahead ack, leaving the warm run queued so the
+    # first timed run absorbs it (~2x over-report)
     states = jax.vmap(scn.init_state)(jax.random.split(jax.random.PRNGKey(0), BATCH))
-    out = run(states)
-    jax.block_until_ready(out.density)
+    _ = float(run(states).num_peds.sum())
     import numpy as _np
 
     times = []
@@ -88,7 +90,7 @@ def main():
     states_g = jax.vmap(scn_g.init_state)(
         jax.random.split(jax.random.PRNGKey(0), B_G)
     )
-    jax.block_until_ready(run_g(states_g).density)
+    _ = float(run_g(states_g).num_peds.sum())  # true-dependency warm fence
     times_g = []
     for i in range(3):
         states_g = jax.vmap(scn_g.init_state)(
@@ -122,7 +124,7 @@ def main():
         return simulate(scn1, scn1.engine_params, st, T - 1,
                         stochastic=True, record=False)[0]
 
-    jax.block_until_ready(full_run(scn1.init_state(jax.random.PRNGKey(0))).density)
+    _ = float(full_run(scn1.init_state(jax.random.PRNGKey(0))).num_peds.sum())
     st1 = scn1.init_state(jax.random.PRNGKey(1))
     _np.asarray(st1.density)
     t0 = time.time()

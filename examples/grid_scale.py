@@ -19,7 +19,7 @@ import numpy as np
 
 import jax
 
-from pednstream_tpu.engine import step_fn
+from pednstream_tpu.engine import simulate_batched
 from pednstream_tpu.generator import NetworkEnvGenerator
 from pednstream_tpu.scenario import build_scenario
 
@@ -42,24 +42,28 @@ def main():
     print(f"grid_50x50: {scn.n_nodes} nodes, {scn.n_links} directed links, "
           f"H={scn.H}, pallas={args.pallas}")
 
-    def rollout(st):
-        def body(s, _):
-            s, _ = step_fn(scn, ep, s, stochastic=True, record=False)
-            return s, None
-        return jax.lax.scan(body, st, None, length=args.steps)[0]
-
-    run = jax.jit(jax.vmap(rollout))
+    # lockstep rollout: scan outside, vmap inside, shared t (see
+    # engine.simulate_batched — vmapping a whole per-replica scan makes
+    # the ring-row writes scatter per replica, ~2x slower)
+    run = jax.jit(lambda ss: simulate_batched(scn, ep, ss, args.steps,
+                                              stochastic=True))
     states = jax.vmap(scn.init_state)(
         jax.random.split(jax.random.PRNGKey(0), args.batch))
-    out = run(states)  # compile
-    jax.block_until_ready(out.density)
+    # compile + warm.  The fence must be a host read of the OUTPUT
+    # (float of a device-side reduce): on the remote runtime
+    # block_until_ready can return on a fire-ahead ack, leaving the warm
+    # run still queued — the timed run would then absorb it (~2x slower)
+    _ = float(run(states).num_peds.sum())
+    states = jax.vmap(scn.init_state)(
+        jax.random.split(jax.random.PRNGKey(2), args.batch))
+    _ = float(run(states).num_peds.sum())
 
     states = jax.vmap(scn.init_state)(
         jax.random.split(jax.random.PRNGKey(1), args.batch))
     np.asarray(states.density)
     t0 = time.time()
     out = run(states)
-    total_peds = float(np.asarray(out.num_peds).sum())
+    total_peds = float(out.num_peds.sum())  # device-side reduce, true dep
     dt = time.time() - t0
     rate = args.steps * args.batch / dt
     print(f"{args.steps} steps x {args.batch} replicas in {dt:.2f}s "

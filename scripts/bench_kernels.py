@@ -37,8 +37,9 @@ def measure(scn, batch, steps, warm=True, seed0=1):
                                                   stochastic=True))
         mk = lambda k: jax.vmap(scn.init_state)(jax.random.split(k, batch))
 
-    out = run(mk(jax.random.PRNGKey(0)))
-    jax.block_until_ready(out.density)
+    # true-dependency warm fence (fire-ahead acks make block_until_ready
+    # unreliable on the remote runtime)
+    _ = float(run(mk(jax.random.PRNGKey(0))).num_peds.sum())
     times = []
     for i in range(3):
         st = mk(jax.random.PRNGKey(seed0 + i))
