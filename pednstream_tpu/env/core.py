@@ -279,14 +279,32 @@ class PedNetEnvCore:
             self._jit_batch_step_fn = jax.jit(_batched)
         return self._jit_batch_step_fn
 
+    @property
+    def _jit_batch_step_hetero(self):
+        if not hasattr(self, "_jit_batch_step_het_fn"):
+            self._jit_batch_step_het_fn = jax.jit(jax.vmap(self._step_impl))
+        return self._jit_batch_step_het_fn
+
     def batch_reset(self, keys: jax.Array):
         """vmapped reset over a batch of PRNG keys -> batched state/obs."""
         return self._jit_batch_reset(keys)
 
-    def batch_step(self, states: NetworkState, actions: Dict[str, jnp.ndarray]):
+    def batch_step(self, states: NetworkState, actions: Dict[str, jnp.ndarray],
+                   lockstep: bool = True):
         """vmapped step: states and every action leaf carry a leading batch
-        axis.  One XLA program steps all replicas in lockstep."""
-        st, obs, rewards, done, _ = self._jit_batch_step(states, actions)
+        axis.  One XLA program steps all replicas.
+
+        lockstep=True (default) requires every replica to share the same
+        ``states.t`` — the time is closed over the vmap as an unbatched
+        scalar, which keeps the engine's ring-row writes
+        dynamic-update-slices instead of per-replica scatters (~2x
+        faster).  Every batched path in this package (batch_reset +
+        fixed-horizon episodes with synchronized resets) satisfies it.
+        Pass ``lockstep=False`` if your replicas carry heterogeneous
+        ``t`` values (e.g. you reset a subset manually) — correctness
+        over speed."""
+        fn = self._jit_batch_step if lockstep else self._jit_batch_step_hetero
+        st, obs, rewards, done, _ = fn(states, actions)
         return st, obs, rewards, done
 
     @property
@@ -301,10 +319,20 @@ class PedNetEnvCore:
             self._jit_batch_step_rand_fn = jax.jit(_batched)
         return self._jit_batch_step_rand_fn
 
-    def batch_step_randomized(self, states, actions, engine_params):
+    @property
+    def _jit_batch_step_randomized_hetero(self):
+        if not hasattr(self, "_jit_batch_step_rand_het_fn"):
+            self._jit_batch_step_rand_het_fn = jax.jit(
+                jax.vmap(self._step_impl, in_axes=(0, 0, 0))
+            )
+        return self._jit_batch_step_rand_het_fn
+
+    def batch_step_randomized(self, states, actions, engine_params,
+                              lockstep: bool = True):
         """Batched step with PER-REPLICA EngineParams (domain
-        randomization in-vmap; see pednstream_tpu.randomize)."""
-        st, obs, rewards, done, _ = self._jit_batch_step_randomized(
-            states, actions, engine_params
-        )
+        randomization in-vmap; see pednstream_tpu.randomize).  For the
+        ``lockstep`` contract see :meth:`batch_step`."""
+        fn = (self._jit_batch_step_randomized if lockstep
+              else self._jit_batch_step_randomized_hetero)
+        st, obs, rewards, done, _ = fn(states, actions, engine_params)
         return st, obs, rewards, done

@@ -118,18 +118,7 @@ class NetworkEnvGenerator:
                 demand.setdefault(origin_key, {}).update(params)
 
         self.config["params"].setdefault("links", {})
-
-        # inject measured corridor lengths (env_loader.py:126-144)
-        if self.network_data["edge_distances"]:
-            for (u, v), distance in self.network_data["edge_distances"].items():
-                link_id = f"{u}_{v}"
-                link_specific = self.config["params"]["links"].get(link_id, {})
-                final_params = dict(default_link_params)
-                final_params.update(link_specific)
-                final_params["length"] = distance
-                self.config["params"]["links"][link_id] = final_params
-                if f"{v}_{u}" not in self.config["params"]["links"]:
-                    self.config["params"]["links"][f"{v}_{u}"] = final_params
+        self._inject_edge_distances()
 
         kwargs = {}
         if self.ftype is not None:
@@ -148,6 +137,23 @@ class NetworkEnvGenerator:
             **kwargs,
         )
         return self.scenario
+
+    def _inject_edge_distances(self) -> None:
+        """Write measured corridor lengths into per-link params
+        (env_loader.py:126-144); shared by create_network and
+        build_od_randomizable."""
+        if not self.network_data["edge_distances"]:
+            return
+        default_link_params = self.config["params"]["default_link"]
+        for (u, v), distance in self.network_data["edge_distances"].items():
+            link_id = f"{u}_{v}"
+            link_specific = self.config["params"]["links"].get(link_id, {})
+            final_params = dict(default_link_params)
+            final_params.update(link_specific)
+            final_params["length"] = distance
+            self.config["params"]["links"][link_id] = final_params
+            if f"{v}_{u}" not in self.config["params"]["links"]:
+                self.config["params"]["links"][f"{v}_{u}"] = final_params
 
     def build_od_randomizable(self, dataset: str, hop: int = 2,
                               **build_kwargs) -> Scenario:
@@ -189,8 +195,10 @@ class NetworkEnvGenerator:
             kwargs["ftype"] = self.ftype
         if self.history_window is not None:
             kwargs["history_window"] = self.history_window
+        kwargs.setdefault("exact_parity", self.exact_parity)
         kwargs.update(build_kwargs)
         self.config["params"].setdefault("links", {})
+        self._inject_edge_distances()
         return build_scenario(
             adjacency_matrix=self.network_data["adjacency_matrix"],
             params=self.config["params"],

@@ -74,6 +74,12 @@ class _Handler(BaseHTTPRequestHandler):
             kwargs = json.loads(self.rfile.read(length) or b"{}")
             result = fn(**kwargs)
             self._send(200, json.dumps(result, default=str))
+        except KeyError as e:
+            # unknown sim_id etc. — a client error, mirroring the GET
+            # resource path's 404
+            self._send(404, json.dumps({"error": str(e)}))
+        except TypeError as e:
+            self._send(400, json.dumps({"error": f"bad arguments: {e}"}))
         except Exception as e:
             self._send(500, json.dumps({"error": str(e)}))
 

@@ -50,6 +50,10 @@ class SimulationState:
     history: list = field(default_factory=list)
     output_dir: Optional[str] = None
     step_fn: Any = None  # jit-compiled (params, state) -> (state, outputs)
+    # serializes the donated-buffer step loop: the step_fn donates the
+    # input state, so two threads stepping the same sim would race on a
+    # deleted buffer (the HTTP transport is a ThreadingHTTPServer)
+    run_lock: Any = field(default_factory=threading.Lock)
 
     def to_dict(self):
         return {
@@ -157,19 +161,29 @@ def run_simulation(sim_id: str, steps: int = None, until: int = None) -> Dict[st
         end = min(until, sim.total_steps - 1)
     elif steps is not None:
         end = min(sim.current_step + steps, sim.total_steps - 1)
+    if not sim.run_lock.acquire(blocking=False):
+        # another request is already stepping this sim; donating buffers
+        # makes concurrent stepping unsafe, so report instead of racing
+        return {"sim_id": sim_id, "status": SimulationStatus.RUNNING.value,
+                "current_step": sim.current_step,
+                "total_steps": sim.total_steps,
+                "note": "step loop busy in another request"}
     try:
         sim.status = SimulationStatus.RUNNING
         if sim.step_fn is None:
             sim.step_fn = make_step(scn, stochastic=True, record=True,
                                     donate=True)
-        st = sim.engine_state
         while sim.current_step < end:
             if sim.status == SimulationStatus.CANCELLED:
                 break
-            st, out = sim.step_fn(scn.engine_params, st)
+            st, out = sim.step_fn(scn.engine_params, sim.engine_state)
+            # reassign BEFORE any other work: the previous state's
+            # buffers were donated (deleted), so the registry must never
+            # keep a reference to them past this call — even if a later
+            # statement raises
+            sim.engine_state = st
             sim.history.append(out)
             sim.current_step += 1
-        sim.engine_state = st
         if sim.current_step >= sim.total_steps - 1:
             sim.status = SimulationStatus.COMPLETED
         elif sim.status != SimulationStatus.CANCELLED:
@@ -180,6 +194,8 @@ def run_simulation(sim_id: str, steps: int = None, until: int = None) -> Dict[st
         sim.status = SimulationStatus.FAILED
         sim.error = str(e)
         return {"sim_id": sim_id, "status": sim.status.value, "error": str(e)}
+    finally:
+        sim.run_lock.release()
 
 
 def save_outputs(sim_id: str, include_time_series: bool = True) -> Dict[str, Any]:

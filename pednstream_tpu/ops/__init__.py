@@ -1,4 +1,8 @@
 from .ncurve import (boundary_and_diffusion_reads, diffusion_single_pass,
                      fused_history_reads)
 
-__all__ = ["fused_history_reads", "diffusion_single_pass"]
+__all__ = [
+    "boundary_and_diffusion_reads",
+    "diffusion_single_pass",
+    "fused_history_reads",
+]

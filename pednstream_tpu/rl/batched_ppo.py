@@ -322,10 +322,17 @@ class BatchedPPOTrainer:
                 new_acar[aid] = _where_done(done, fresh_c, new_acar[aid])
                 new_ccar[aid] = _where_done(done, fresh_c, new_ccar[aid])
             if self.randomize:
-                redraw = jax.vmap(lambda kk: randomize_engine_params(self.scn, kk))(
-                    jax.vmap(lambda s: jax.random.fold_in(s, 13))(new_states.key)
-                )
-                eps = _where_done(done, self._mix_nominal(redraw), eps)
+                # episodes are fixed-horizon and reset in lockstep, so
+                # done is all-or-none; gate the (expensive) per-replica
+                # world redraw behind a real branch instead of drawing
+                # and discarding on every non-boundary step
+                def _redraw(eps_in):
+                    redraw = jax.vmap(
+                        lambda kk: randomize_engine_params(self.scn, kk)
+                    )(jax.vmap(lambda s: jax.random.fold_in(s, 13))(new_states.key))
+                    return _where_done(done, self._mix_nominal(redraw), eps_in)
+
+                eps = jax.lax.cond(done[0], _redraw, lambda e: e, eps)
             new_obs = jax.vmap(self.core._observations)(new_states)
             rew = {aid: rewards.get(aid if aid != "sep" else
                                     (self.spec.sep_ids[0] if self.spec.sep_ids else aid),
@@ -405,6 +412,7 @@ class BatchedPPOTrainer:
         pv, opt = pv0, opt0
         stopped = jnp.asarray(False)
         total_loss = jnp.asarray(0.0)
+        n_applied = jnp.asarray(0.0)
         last_kl = jnp.asarray(0.0)
         for epoch in range(self.epochs):
             # distinct permutation per epoch; stable keys so fixed seeds
@@ -422,10 +430,13 @@ class BatchedPPOTrainer:
                 opt = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(keep, a, b), opt, opt_new)
                 total_loss = total_loss + jnp.where(keep, 0.0, loss)
+                n_applied = n_applied + jnp.where(keep, 0.0, 1.0)
                 last_kl = jnp.where(keep, last_kl, kl)
                 stopped = stopped | (jnp.abs(kl) > self.kl_target)
-        n_upd = self.epochs * self.minibatches
-        return pv, opt, total_loss / n_upd, last_kl
+        # mean over the updates actually APPLIED: dividing by the full
+        # epochs*minibatches count would understate the loss whenever the
+        # KL early-stop masked later updates
+        return pv, opt, total_loss / jnp.maximum(n_applied, 1.0), last_kl
 
     def _train_iteration_impl(self, ts: TrainerState):
         key, k_roll, k_perm = jax.random.split(ts.key, 3)

@@ -176,10 +176,19 @@ class DecentralizedOptimizationAgent:
                     * self.scn.unit_time)
 
         idx_t = time_step
+        H = inflow_hist.shape[0]
         for i, e in enumerate(local):
             travel_gap = int(np.floor(lp.length[e] / (lp.free_flow_speed[e] * self.scn.unit_time)))
+            if travel_gap >= H and idx_t - travel_gap >= 0:
+                # the ring no longer holds inflow[t - travel_gap]; a
+                # silent mod-wrap would read a far-too-recent inflow
+                raise ValueError(
+                    f"link {e}: free-flow travel gap {travel_gap} steps "
+                    f"exceeds history_window={H}; rebuild the scenario "
+                    f"with history_window > {travel_gap} to use the MPC "
+                    "agent")
             ext_in = (
-                inflow_hist[(idx_t - travel_gap) % inflow_hist.shape[0], e]
+                inflow_hist[(idx_t - travel_gap) % H, e]
                 if idx_t - travel_gap >= 0 else 0.0
             )
             ext_out = outflow[e]

@@ -196,14 +196,9 @@ def scenario_grid7(steps=250):
     # 7x7 grid in the two_coordinators/45_intersections configuration
     # (reference data/two_coordinators/sim_params.yaml): central gater
     # node 24, k_paths 10 routing, origins/destinations 30<->18
-    adj = np.zeros((49, 49), dtype=int)
-    for r in range(7):
-        for c in range(7):
-            n = 7 * r + c
-            if c < 6:
-                adj[n, n + 1] = adj[n + 1, n] = 1
-            if r < 6:
-                adj[n, n + 7] = adj[n + 7, n] = 1
+    from pednstream_tpu.config import grid_adjacency
+
+    adj = grid_adjacency(7, 7).astype(int)
     params = {
         "unit_time": 10,
         "simulation_steps": steps,
