@@ -22,7 +22,11 @@ import time
 REFERENCE_MELBOURNE_STEPS_PER_S = 21.05  # measured 2026-08-16, this host
 BATCH = 512
 WINDOW = 64  # windowed-history mode for the batched RL-training config
-STEPS = 100
+# one COMPLETE simulation per timed run (the scenarios' full 500-step
+# horizon): measuring a 100-step window under-reported steady-state
+# throughput ~25% by amortizing per-run dispatch overhead over too few
+# steps
+STEPS = 500
 
 
 def main():
