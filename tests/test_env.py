@@ -96,3 +96,53 @@ def test_batched_env_vmap():
         states, obs, rewards, done = env.core.batch_step(states, actions)
     dens = np.asarray(states.density)
     assert not np.allclose(dens[0], dens[1])
+
+
+def test_lockstep_shared_t_matches_per_replica_t():
+    """batch_step's lockstep fast path (shared t closed over the vmap,
+    engine.step_fn t_shared) must be numerically IDENTICAL to the
+    heterogeneous per-replica-t path whenever all replicas share t —
+    the invariant every batched caller in this package relies on."""
+    env = _make_env(obs_mode="option2", stochastic=True)
+    B = 6
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    s_fast, _ = env.core.batch_reset(keys)
+    s_het, _ = env.core.batch_reset(keys)
+    actions = {"gate_2": np.tile(
+        env.spec_agents.gate_link_widths[0][None, :].astype(np.float32), (B, 1))}
+    for _ in range(12):
+        s_fast, o_fast, r_fast, d_fast = env.core.batch_step(
+            s_fast, actions, lockstep=True)
+        s_het, o_het, r_het, d_het = env.core.batch_step(
+            s_het, actions, lockstep=False)
+    np.testing.assert_array_equal(np.asarray(s_fast.t), np.asarray(s_het.t))
+    np.testing.assert_allclose(
+        np.asarray(s_fast.density), np.asarray(s_het.density), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(s_fast.cum_in), np.asarray(s_het.cum_in), rtol=0, atol=0)
+    for k in r_fast:
+        np.testing.assert_allclose(
+            np.asarray(r_fast[k]), np.asarray(r_het[k]), rtol=0, atol=0)
+
+
+def test_simulate_batched_matches_vmapped_simulate():
+    """engine.simulate_batched (scan outside, vmap inside, shared t) ==
+    vmap of the per-replica simulate scan, leaf for leaf."""
+    from pednstream_tpu.engine import simulate, simulate_batched
+
+    env = _make_env(obs_mode="option1", stochastic=True)
+    scn = env.scn
+    ep = scn.engine_params
+    B, steps = 5, 25
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    states = jax.vmap(scn.init_state)(keys)
+
+    out_lock = simulate_batched(scn, ep, states, steps, stochastic=True)
+    out_vmap = jax.vmap(
+        lambda s: simulate(scn, ep, s, steps, stochastic=True, record=False)[0]
+    )(jax.vmap(scn.init_state)(keys))
+    for name in ("t", "density", "cum_in", "cum_out", "num_peds", "avg_tt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_lock, name)),
+            np.asarray(getattr(out_vmap, name)), rtol=0, atol=0,
+            err_msg=name)
