@@ -409,30 +409,39 @@ class BatchedPPOTrainer:
             return loss, kl
 
         mb = self.B // self.minibatches
-        pv, opt = pv0, opt0
-        stopped = jnp.asarray(False)
-        total_loss = jnp.asarray(0.0)
-        n_applied = jnp.asarray(0.0)
-        last_kl = jnp.asarray(0.0)
-        for epoch in range(self.epochs):
-            # distinct permutation per epoch; stable keys so fixed seeds
-            # reproduce across runs
-            k_e = jax.random.fold_in(k_perm, epoch)
-            perm = jax.random.permutation(k_e, self.B)
-            for m in range(self.minibatches):
-                idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
-                (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(pv, idx)
-                updates, opt_new = self.tx.update(grads, opt)
-                pv_new = optax.apply_updates(pv, updates)
-                keep = stopped  # no further updates once KL tripped
-                pv = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(keep, a, b), pv, pv_new)
-                opt = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(keep, a, b), opt, opt_new)
-                total_loss = total_loss + jnp.where(keep, 0.0, loss)
-                n_applied = n_applied + jnp.where(keep, 0.0, 1.0)
-                last_kl = jnp.where(keep, last_kl, kl)
-                stopped = stopped | (jnp.abs(kl) > self.kl_target)
+        # all epochs*minibatches index sets up front (distinct permutation
+        # per epoch; stable keys so fixed seeds reproduce across runs),
+        # then ONE lax.scan over them: the previous unrolled Python loop
+        # compiled epochs*minibatches copies of the loss+grad graph, which
+        # dominated trainer compile time
+        idx_sets = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(
+                jax.random.permutation(jax.random.fold_in(k_perm, epoch), self.B),
+                m * mb, mb)
+            for epoch in range(self.epochs)
+            for m in range(self.minibatches)
+        ])
+
+        def upd(carry, idx):
+            pv, opt, stopped, total_loss, n_applied, last_kl = carry
+            (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(pv, idx)
+            updates, opt_new = self.tx.update(grads, opt)
+            pv_new = optax.apply_updates(pv, updates)
+            keep = stopped  # no further updates once KL tripped
+            pv = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, a, b), pv, pv_new)
+            opt = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, a, b), opt, opt_new)
+            total_loss = total_loss + jnp.where(keep, 0.0, loss)
+            n_applied = n_applied + jnp.where(keep, 0.0, 1.0)
+            last_kl = jnp.where(keep, last_kl, kl)
+            stopped = stopped | (jnp.abs(kl) > self.kl_target)
+            return (pv, opt, stopped, total_loss, n_applied, last_kl), None
+
+        carry0_u = (pv0, opt0, jnp.asarray(False), jnp.asarray(0.0),
+                    jnp.asarray(0.0), jnp.asarray(0.0))
+        (pv, opt, _, total_loss, n_applied, last_kl), _ = jax.lax.scan(
+            upd, carry0_u, idx_sets)
         # mean over the updates actually APPLIED: dividing by the full
         # epochs*minibatches count would understate the loss whenever the
         # KL early-stop masked later updates
