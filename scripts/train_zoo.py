@@ -161,11 +161,14 @@ def evaluate_zoo(dataset: str, action_gap: int, ppo_dir: str,
 
 
 def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
-        with_mpc: bool = False, ppo_iters: int = None, sac_eps: int = None):
+        with_mpc: bool = False, ppo_iters: int = None, sac_eps: int = None,
+        eval_only: bool = False):
     action_gap, d_ppo, d_sac = DATASETS[dataset]
-    ppo_dir = train_ppo(dataset, action_gap, ppo_iters or d_ppo)
+    ppo_dir = os.path.join(ART, f"ppo_agents_{dataset}")
+    if not eval_only:
+        ppo_dir = train_ppo(dataset, action_gap, ppo_iters or d_ppo)
     sac_dir = os.path.join(ART, f"sac_agents_{dataset}")
-    if not skip_sac:
+    if not skip_sac and not eval_only:
         sac_dir = train_sac(dataset, action_gap, sac_eps or d_sac)
     elif not os.path.isdir(sac_dir):
         sac_dir = None  # no previously trained SAC checkpoint to reuse
@@ -182,13 +185,17 @@ def main():
     p.add_argument("--with-mpc", action="store_true")
     p.add_argument("--ppo-iters", type=int, default=None)
     p.add_argument("--sac-episodes", type=int, default=None)
+    p.add_argument("--eval-only", action="store_true",
+                   help="re-evaluate existing artifacts/zoo checkpoints "
+                        "without retraining")
     args = p.parse_args()
 
     names = list(DATASETS) if args.all else [args.dataset or "butterfly_scC"]
     for name in names:
         run(name, skip_sac=args.skip_sac, skip_eval=args.skip_eval,
             with_mpc=args.with_mpc and name == "butterfly_scC",
-            ppo_iters=args.ppo_iters, sac_eps=args.sac_episodes)
+            ppo_iters=args.ppo_iters, sac_eps=args.sac_episodes,
+            eval_only=args.eval_only)
 
 
 if __name__ == "__main__":
