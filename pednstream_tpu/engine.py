@@ -66,6 +66,30 @@ def _ring_read(ring: jnp.ndarray, time_idx: jnp.ndarray, H: int) -> jnp.ndarray:
     return jnp.where(mask, ring, 0.0).sum(axis=0)
 
 
+def _make_rev(scn):
+    """Reverse-link permutation ``x -> x[reverse_idx]`` as a lane-shift.
+
+    Topology stores each corridor's two directed links adjacently
+    (topology.py: reverse_idx == e ^ 1 by construction), so the reverse
+    read is an even/odd lane swap.  A per-lane gather — even with
+    compile-time-constant indices — is emitted as a serialized load loop
+    inside TPU fusions; the shift+select form is three vectorizable ops
+    and bit-identical (a pure permutation).  Falls back to the gather if
+    a custom topology ever breaks the pairing.
+    """
+    rev = np.asarray(scn.reverse_idx)
+    E = rev.shape[0]
+    if E % 2 == 0 and np.array_equal(rev, np.arange(E, dtype=rev.dtype) ^ 1):
+        def _rev(x):
+            xl = jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
+            xr = jnp.concatenate([x[..., -1:], x[..., :-1]], axis=-1)
+            even = (jax.lax.broadcasted_iota(
+                jnp.int32, x.shape, x.ndim - 1) % 2) == 0
+            return jnp.where(even, xl, xr)
+        return _rev
+    return lambda x: x[..., rev]
+
+
 def _nofma(scn, x):
     """Block XLA FP contraction (mul+add -> FMA) in exact-parity mode.
 
@@ -185,7 +209,7 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
     """
     f = scn.ftype
     f32 = jnp.float32
-    rev = scn.reverse_idx
+    rev = _make_rev(scn)
     dt = scn.unit_time
     ts = t - 1
 
@@ -197,7 +221,7 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
     # get_density(ts): shared bidirectional for Link (link.py:190-197),
     # stored own density for Separator (link.py:427-428)
     shared_density32 = jnp.where(
-        scn.is_separator, st.density, (num_peds32 + num_peds32[rev]) / area32
+        scn.is_separator, st.density, (num_peds32 + rev(num_peds32)) / area32
     )
     own_density32 = st.density
 
@@ -216,9 +240,12 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
     diff_fused = None
     if hist is not None:
         cum_in_at = hist["ci"]
-    elif not getattr(scn, "exact_parity", False):
+    elif not getattr(scn, "exact_parity", False) and stochastic:
         # fast path: boundary + all 4 diffusion taps from ONE pass over
-        # the cum_in ring (inflow[s] = cum_in[s] - cum_in[s-1] exactly)
+        # the cum_in ring (inflow[s] = cum_in[s] - cum_in[s-1] — exact
+        # for the integer-valued flows of stochastic mode below 2**24;
+        # deterministic mode's fractional flows accumulate rounding in
+        # cum_in, so it reads the inflow ring directly below instead)
         from .ops import boundary_and_diffusion_reads
 
         F = f32(1.0) / (f32(1.0) + ep.gamma.astype(f32) * avg_tt)
@@ -244,7 +271,7 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
         scn, (f32(1.0) - cf32).astype(f) * boundary_freeflow
     )
 
-    front_gate = st.back_gate[rev]  # link.py:110-126 cross-coupling
+    front_gate = rev(st.back_gate)  # link.py:110-126 cross-coupling
     cap = front_gate * ep.k_critical * ep.free_flow_speed * dt  # link.py:296
     sending = jnp.minimum(boundary, cap)
     original = sending
@@ -262,6 +289,18 @@ def _sending_flows(scn, ep: EngineParams, st: NetworkState, t, keys, stochastic,
         diff_raw = hist["diff"]
     elif diff_fused is not None:
         diff_raw = diff_fused
+    elif not getattr(scn, "exact_parity", False):
+        # deterministic fast path: one weighted pass over the inflow
+        # ring (fractional flows — the cum-difference reconstruction
+        # above is only ulp-exact for integer flows)
+        from .ops import diffusion_single_pass
+
+        F = f32(1.0) / (f32(1.0) + ep.gamma.astype(f32) * avg_tt)
+        one_m_f = f32(1.0) - F
+        coefs = jnp.stack(
+            [F, F * one_m_f, F * one_m_f**2, F * one_m_f**3], axis=0
+        ).astype(st.inflow_ring.dtype)
+        diff_raw = diffusion_single_pass(st.inflow_ring, ts - tau, coefs, scn.H)
     else:
         # exact-parity: reference summation order (link.py:210-212), 4
         # separate inflow-ring reads
@@ -326,7 +365,7 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
     EngineParams leaves to jnp — see the staging note there), else None.
     """
     f = scn.ftype
-    rev = scn.reverse_idx
+    rev = _make_rev(scn)
     dt = scn.unit_time
 
     area = jnp.where(
@@ -372,7 +411,7 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
             )
     early = (t - tau_shock) < 0  # ts + 1 - tau_shockwave < 0
 
-    rev_rand = _binom(key, num_peds[rev], 0.9, stochastic,
+    rev_rand = _binom(key, rev(num_peds), 0.9, stochastic,
                       getattr(scn, "binomial_mode", "exact"))  # link.py:382
     kjam_area = ep.k_jam * area
 
@@ -399,7 +438,7 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
 
     # reverse-sending subtraction (link.py:407-416); separators skip it
     R = jnp.where(
-        scn.is_separator, jnp.maximum(rf, 0.0), jnp.maximum(rf - S[rev], 0.0)
+        scn.is_separator, jnp.maximum(rf, 0.0), jnp.maximum(rf - rev(S), 0.0)
     ).astype(f)
     return R
 
@@ -492,7 +531,7 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
 
     f = scn.ftype
     f32 = jnp.float32
-    rev = scn.reverse_idx
+    rev = _make_rev(scn)
     W = scn.avg_tt_window
 
     num_peds = (st.num_peds.astype(f) + (inflow_e - outflow_e)).astype(f32)
@@ -501,7 +540,7 @@ def _update_link_states(scn, ep: EngineParams, st: NetworkState, t, inflow_e, ou
 
     # FD speed in f32 staging (update_speeds, link.py:141-188)
     k_self = density
-    k_opp = jnp.where(scn.is_separator, f32(0.0), density[rev])
+    k_opp = jnp.where(scn.is_separator, f32(0.0), rev(density))
     k_eff = k_self + _nofma(scn, ep.bi_factor.astype(f32) * k_opp)
     v = speed_from_density(k_eff, ep.free_flow_speed, ep.k_critical, ep.k_jam, scn.fd_type)
     if stochastic:

@@ -35,6 +35,30 @@ from ..state import NetworkState
 from .agents import FEATURES_PER_LINK, AgentSpec
 
 
+def _poison_if_not_lockstep(states_in, st, obs, rewards, done, info):
+    """Runtime guard for the lockstep-batch contract (batch_step).
+
+    The lockstep fast path closes ``t = states.t[0]`` over the vmap; if a
+    caller stepped replicas to heterogeneous ``t`` (e.g. reset a subset
+    manually) the ring reads/writes would be silently wrong.  A host-side
+    assert would force a device round-trip per eager step (the eager path
+    is dispatch-latency-bound), so instead the violation is made LOUD on
+    device: obs/reward leaves become NaN and the new state's clock a
+    negative sentinel.  Cost is a [B] reduce + scalar selects.
+    """
+    ok = jnp.all(states_in.t == states_in.t[0])
+
+    def _poison(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.where(ok, x, jnp.nan)
+        return x
+
+    obs = jax.tree_util.tree_map(_poison, obs)
+    rewards = jax.tree_util.tree_map(_poison, rewards)
+    st = st.replace(t=jnp.where(ok, st.t, -(2**30)))
+    return st, obs, rewards, done, info
+
+
 class PedNetEnvCore:
     def __init__(
         self,
@@ -272,9 +296,11 @@ class PedNetEnvCore:
             # dynamic-update-slices instead of batching into scatters
             def _batched(states, actions):
                 t0 = states.t[0]
-                return jax.vmap(
+                st, obs, rewards, done, info = jax.vmap(
                     lambda s, a: self._step_impl(s, a, t_shared=t0)
                 )(states, actions)
+                return _poison_if_not_lockstep(states, st, obs, rewards,
+                                               done, info)
 
             self._jit_batch_step_fn = jax.jit(_batched)
         return self._jit_batch_step_fn
@@ -312,9 +338,11 @@ class PedNetEnvCore:
         if not hasattr(self, "_jit_batch_step_rand_fn"):
             def _batched(states, actions, eps):
                 t0 = states.t[0]
-                return jax.vmap(
+                st, obs, rewards, done, info = jax.vmap(
                     lambda s, a, e: self._step_impl(s, a, e, t_shared=t0)
                 )(states, actions, eps)
+                return _poison_if_not_lockstep(states, st, obs, rewards,
+                                               done, info)
 
             self._jit_batch_step_rand_fn = jax.jit(_batched)
         return self._jit_batch_step_rand_fn

@@ -156,11 +156,6 @@ def run_simulation(sim_id: str, steps: int = None, until: int = None) -> Dict[st
     if sim.status in (SimulationStatus.FAILED, SimulationStatus.CANCELLED):
         return {"sim_id": sim_id, "status": sim.status.value, "error": sim.error}
     scn = sim.scenario
-    end = sim.total_steps - 1
-    if until is not None:
-        end = min(until, sim.total_steps - 1)
-    elif steps is not None:
-        end = min(sim.current_step + steps, sim.total_steps - 1)
     if not sim.run_lock.acquire(blocking=False):
         # another request is already stepping this sim; donating buffers
         # makes concurrent stepping unsafe, so report instead of racing
@@ -169,6 +164,14 @@ def run_simulation(sim_id: str, steps: int = None, until: int = None) -> Dict[st
                 "total_steps": sim.total_steps,
                 "note": "step loop busy in another request"}
     try:
+        # compute end INSIDE the critical section: a concurrent request
+        # finishing between a read of current_step and the acquire would
+        # otherwise make steps=N advance fewer than N steps
+        end = sim.total_steps - 1
+        if until is not None:
+            end = min(until, sim.total_steps - 1)
+        elif steps is not None:
+            end = min(sim.current_step + steps, sim.total_steps - 1)
         sim.status = SimulationStatus.RUNNING
         if sim.step_fn is None:
             sim.step_fn = make_step(scn, stochastic=True, record=True,

@@ -58,34 +58,65 @@ def boundary_and_diffusion_reads(cum_in_ring, idx_ci, base, coefs, H: int):
     ONE pass over the cumulative-inflow ring.
 
     The diffusion taps (get_outflow, link.py:199-214) are lagged
-    *inflows*; since ``inflow[s] == cum_in[s] - cum_in[s-1]`` exactly
-    (both are exact f32 integers below 2**24), the five consecutive
-    cum_in values at slots ``base .. base-4`` recover all four taps —
-    so the inflow ring never has to be read, halving the sending-flow
-    HBM traffic.  All six masked reductions here share one input, which
-    XLA multi-output-fuses into a single read of the ring.
+    *inflows*; ``inflow[s] == cum_in[s] - cum_in[s-1]`` — an equality
+    that is exact when flows are integer-valued (stochastic mode) and
+    cum_in stays below 2**24; in deterministic mode flows are fractional
+    and the reconstructed taps can drift an ulp from the stored inflow
+    ring as cum_in grows (the exact-parity path in engine.py therefore
+    reads the inflow ring directly and never calls this).  The five
+    consecutive cum_in values at slots ``base-4 .. base`` recover all
+    four taps, so the inflow ring never has to be read, halving the
+    sending-flow HBM traffic.
+
+    The telescoped sum ``sum_k coefs[k] * (v_k - v_{k+1})`` collapses to
+    ONE weighted reduction with per-slot weights
+
+        w_0 = c_0,  w_k = c_k - c_{k-1} (k=1..3),  w_4 = -c_3,
+
+    where slot-validity (``base - j >= 0``, gating the WHOLE telescoped
+    weight — the value at an out-of-range slot is a wrapped ring row and
+    must contribute nothing) is folded into the weights on the [E] axis,
+    so the per-[H, E]-element cost is one lag compute + a 5-way weight
+    select + multiply-add (~17 VPU ops/element vs ~25 for the earlier
+    six-masked-sum form — this reduction is compute-bound,
+    docs/PERFORMANCE.md).  Both outputs share the one lag index; a
+    negative ``idx_ci`` reads 0 via an [E]-level sentinel slot, costing
+    nothing per ring element.  XLA multi-output-fuses the two
+    accumulators into a single read of the ring.
 
     cum_in_ring: [H, E] time-major; idx_ci, base: [E] int; coefs: [4, E].
-    Returns (cum_in_at[E], diff_raw[E]); diff_raw accumulates the taps
-    left-to-right like the reference expression (link.py:210-212).
+    Returns (cum_in_at[E], diff_raw[E]).
     """
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
 
-    sel_ci = (h_ids == jnp.mod(idx_ci, H)[None, :]) & (idx_ci[None, :] >= 0)
+    # sentinel H never matches a row, so negative indices read as 0
+    idx_eff = jnp.where(idx_ci >= 0, jnp.mod(idx_ci, H), H)
+    sel_ci = h_ids == idx_eff[None, :]
     base_slot = jnp.mod(base, H)[None, :]
-    r = jnp.mod(base_slot - h_ids, H)  # slots base-r live at row h
+    k = jnp.mod(base_slot - h_ids, H)  # slot h holds time base-k
 
-    # five consecutive cum values v_k = cum_in[base - k], k = 0..4
-    vs = []
-    for k in range(5):
-        mask = (r == k) & ((base[None, :] - k) >= 0)
-        vs.append(jnp.where(mask, cum_in_ring, 0.0).sum(axis=0))
-    ci = jnp.where(sel_ci, cum_in_ring, 0.0).sum(axis=0)
+    # telescoped weights u_j, validity (base - j >= 0) gating each whole
+    # weight: diff = sum_j [base>=j] * u_j * ring[(base-j) % H]
+    u = [coefs[0], coefs[1] - coefs[0], coefs[2] - coefs[1],
+         coefs[3] - coefs[2], -coefs[3]]
+    w = [jnp.where(base >= j, u[j], 0.0) for j in range(5)]
 
-    # inflow[base-k] = v_k - v_{k+1} (v_{k+1} masked to 0 when base-k-1 < 0)
-    diff = coefs[0] * (vs[0] - vs[1])
-    for k in range(1, 4):
-        diff = diff + coefs[k] * (vs[k] - vs[k + 1])
+    coef = jnp.where(
+        k == 0, w[0][None, :],
+        jnp.where(k == 1, w[1][None, :],
+                  jnp.where(k == 2, w[2][None, :],
+                            jnp.where(k == 3, w[3][None, :],
+                                      jnp.where(k == 4, w[4][None, :], 0.0)))),
+    )
+    diff = (cum_in_ring * coef).sum(axis=0)
+    # expressed as multiply-reduce (NOT select-reduce) so both reductions
+    # are identical op shapes over the one shared ring input — XLA's
+    # multi-output fusion only merges sibling reductions of the same
+    # pattern; mixing select_reduce with multiply_reduce left two full
+    # ring passes (profiled: 875us -> ~470us per step at B=256).
+    # Mask-multiply is IEEE-exact here: ring values are finite and
+    # non-negative, so 1.0*x == x and 0.0*x == 0.
+    ci = (cum_in_ring * sel_ci.astype(cum_in_ring.dtype)).sum(axis=0)
     return ci, diff
 
 

@@ -125,6 +125,30 @@ def test_lockstep_shared_t_matches_per_replica_t():
             np.asarray(r_fast[k]), np.asarray(r_het[k]), rtol=0, atol=0)
 
 
+def test_lockstep_violation_poisons_outputs():
+    """Stepping a heterogeneous-t batch through the lockstep fast path
+    must fail LOUDLY (NaN obs/rewards, negative clock sentinel), not
+    silently corrupt ring reads (env/core.py _poison_if_not_lockstep)."""
+    env = _make_env(obs_mode="option1", stochastic=True)
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    states, _ = env.core.batch_reset(keys)
+    actions = {"gate_2": np.tile(
+        env.spec_agents.gate_link_widths[0][None, :].astype(np.float32), (B, 1))}
+    # manually desynchronize one replica's clock
+    t = np.asarray(states.t).copy()
+    t[0] += 3
+    states = states.replace(t=jax.numpy.asarray(t))
+    states, obs, rewards, done = env.core.batch_step(states, actions)
+    assert np.all(np.isnan(np.asarray(obs["gate_2"])))
+    assert np.all(np.isnan(np.asarray(rewards["gate_2"])))
+    assert np.all(np.asarray(states.t) < 0)
+    # a well-formed batch through the same compiled fn stays clean
+    states2, _ = env.core.batch_reset(keys)
+    states2, obs2, r2, _ = env.core.batch_step(states2, actions)
+    assert not np.any(np.isnan(np.asarray(obs2["gate_2"])))
+
+
 def test_simulate_batched_matches_vmapped_simulate():
     """engine.simulate_batched (scan outside, vmap inside, shared t) ==
     vmap of the per-replica simulate scan, leaf for leaf."""

@@ -90,6 +90,7 @@ def test_golden_parity(name, x64):
         assert err <= tol, f"{name}.{field}: max abs err {err}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dataset", ["delft", "melbourne"])
 def test_golden_parity_realworld(dataset, x64):
     """Real-world networks (measured corridor lengths from

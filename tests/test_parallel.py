@@ -110,6 +110,7 @@ def test_dp_train_step_replicates_params(core):
     assert new_states.density.sharding.spec == P("env")
 
 
+@pytest.mark.slow
 def test_mesh_sharded_batched_ppo_matches_unsharded(core):
     from pednstream_tpu.rl.batched_ppo import BatchedPPOTrainer
 
