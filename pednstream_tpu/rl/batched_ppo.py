@@ -151,6 +151,47 @@ class BatchedPPOTrainer:
         self.tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr))
         self._train_iter = jax.jit(self._train_iteration_impl)
 
+    # -- mesh sharding -----------------------------------------------------------
+
+    def _shard_spec(self, batched: bool):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P("env") if batched else P())
+
+    def _place(self, tree, batched: bool = True):
+        """Host-side placement (init): batch-axis leaves shard over the
+        mesh's ``env`` axis, everything else replicates."""
+        if self.mesh is None or tree is None:
+            return tree
+        sh_b = self._shard_spec(True)
+        sh_r = self._shard_spec(False)
+
+        def put(x):
+            x = jnp.asarray(x)
+            if batched and x.ndim >= 1 and x.shape[0] == self.B:
+                return jax.device_put(x, sh_b)
+            return jax.device_put(x, sh_r)
+
+        return jax.tree_util.tree_map(put, tree)
+
+    def _constrain(self, tree, batched: bool = True):
+        """In-jit sharding constraints so the TRAINER (not the caller)
+        establishes the layout: replica-axis leaves shard over ``env``,
+        params/optimizer state replicate, and GSPMD propagates through
+        the rollout scan and minibatch updates.  No-op without a mesh."""
+        if self.mesh is None or tree is None:
+            return tree
+        sh_b = self._shard_spec(True)
+        sh_r = self._shard_spec(False)
+
+        def con(x):
+            x = jnp.asarray(x)
+            if batched and x.ndim >= 1 and x.shape[0] == self.B:
+                return jax.lax.with_sharding_constraint(x, sh_b)
+            return jax.lax.with_sharding_constraint(x, sh_r)
+
+        return jax.tree_util.tree_map(con, tree)
+
     # -- network families --------------------------------------------------------
 
     def _family(self, aid: str) -> str:
@@ -226,6 +267,17 @@ class BatchedPPOTrainer:
             opts[aid] = self.tx.init({"p": p, "v": v})
             acar[aid] = self._batched_carry(aid)
             ccar[aid] = self._batched_carry(aid)
+        if self.mesh is not None:
+            # the trainer owns the layout: batch-axis state shards over
+            # the mesh's env axis, parameters/optimizer state replicate
+            env_states = self._place(env_states)
+            obs = self._place(obs)
+            eps = self._place(eps)
+            acar = self._place(acar)
+            ccar = self._place(ccar)
+            params = self._place(params, batched=False)
+            vparams = self._place(vparams, batched=False)
+            opts = self._place(opts, batched=False)
         return TrainerState(env_states=env_states, obs=obs, params=params,
                             value_params=vparams, opt_states=opts,
                             actor_carry=acar, critic_carry=ccar,
@@ -448,6 +500,20 @@ class BatchedPPOTrainer:
         return pv, opt, total_loss / jnp.maximum(n_applied, 1.0), last_kl
 
     def _train_iteration_impl(self, ts: TrainerState):
+        if self.mesh is not None:
+            # re-assert the layout inside jit so callers that pass
+            # unsharded state (e.g. a restored checkpoint) still train
+            # sharded — the trainer, not the caller, owns the shardings
+            ts = ts.replace(
+                env_states=self._constrain(ts.env_states),
+                obs=self._constrain(ts.obs),
+                actor_carry=self._constrain(ts.actor_carry),
+                critic_carry=self._constrain(ts.critic_carry),
+                engine_params=self._constrain(ts.engine_params),
+                params=self._constrain(ts.params, batched=False),
+                value_params=self._constrain(ts.value_params, batched=False),
+                opt_states=self._constrain(ts.opt_states, batched=False),
+            )
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
         carry0_a = ts.actor_carry  # rollout-start carries for re-forward
         env_states, obs, acar, ccar, eps, traj = self._rollout(ts, k_roll)

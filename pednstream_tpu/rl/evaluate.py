@@ -82,7 +82,21 @@ def evaluate_agents(
             else:
                 agents = build_agents(env, algo=algo if algo != "best_ppo" else "ppo")
                 if checkpoint_dirs and algo in checkpoint_dirs:
-                    load_all_agents(agents, checkpoint_dirs[algo])
+                    ckpt = checkpoint_dirs[algo]
+                    if os.path.exists(os.path.join(ckpt, "norm_stats.json")):
+                        # the checkpoint was trained on NORMALIZED
+                        # observations (RunningNormalizeWrapper) — evaluate
+                        # it behind the same wrapper with the saved stats
+                        # frozen, or the policy sees raw features orders of
+                        # magnitude outside its training distribution
+                        # (the round-2 SAC zoo collapse)
+                        from .rl_utils import RunningNormalizeWrapper
+
+                        env = RunningNormalizeWrapper(env)
+                        env.freeze()
+                        load_all_agents(agents, ckpt, env=env)
+                    else:
+                        load_all_agents(agents, ckpt)
                 bind = False
             run_dir = os.path.join(output_dir, f"{algo}_run{run}")
             reward = rollout_and_save(env, agents, run_dir,

@@ -188,10 +188,20 @@ class PPOAgent:
 
     def absolute_action(self, obs, delta):
         """delta -> absolute width using the gate-width feature (the last
-        feature per link block; PPO_backup.py:848-851)."""
+        feature per link block; PPO_backup.py:848-851).
+
+        Separator agents (no per-link features) anchor deltas at the
+        width MIDPOINT instead: the reference expression would add the
+        delta to the last flow observation (its separator obs is 4 flows,
+        not widths — an untested path there, no separator checkpoints
+        ship), which saturates the clip almost immediately.  The batched
+        trainer uses the same midpoint rule, so train and eval agree."""
         obs = np.asarray(obs, np.float32)
         if self.features_per_link:
             current = obs.reshape(self.act_dim, -1)[:, -1]
+        elif self.action_low is not None:
+            current = (np.asarray(self.action_low)
+                       + np.asarray(self.action_high)) / 2
         else:
             current = obs[-self.act_dim:]
         absolute = current + np.asarray(delta)

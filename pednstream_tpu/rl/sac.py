@@ -39,7 +39,9 @@ class SACAgent:
         action_low: Optional[np.ndarray] = None,
         action_high: Optional[np.ndarray] = None,
         seed: int = 0,
+        is_separator: bool = False,
     ):
+        self.is_separator = is_separator
         self.obs_dim = obs_dim
         self.act_dim = act_dim
         self.stack_size = stack_size
@@ -93,6 +95,18 @@ class SACAgent:
 
     # -- acting ------------------------------------------------------------------
 
+    def peek_stack(self, obs: np.ndarray) -> np.ndarray:
+        """The stack as it WILL look once ``obs`` is pushed, without
+        mutating state — used to store the true next-state stack for a
+        transition while the actual push happens at the next
+        ``take_action``."""
+        obs = np.asarray(obs, np.float32)
+        if self._obs_stack is None:
+            return np.tile(obs[None], (self.stack_size, 1))
+        s = np.roll(self._obs_stack, -1, axis=0)
+        s[-1] = obs
+        return s
+
     def take_action(self, obs, explore: bool = True):
         stacked = self._stack(obs)
         if explore:
@@ -105,8 +119,15 @@ class SACAgent:
 
     def absolute_action(self, obs, delta):
         obs = np.asarray(obs, np.float32)
-        current = obs.reshape(self.act_dim, -1)[:, -1] if obs.size % self.act_dim == 0 \
-            else obs[-self.act_dim:]
+        # separator obs is 4 flows per separator, so the stacked per-link
+        # reshape would anchor at a FLOW value; anchor at the width
+        # midpoint instead (see PPOAgent.absolute_action)
+        if self.is_separator and self.action_low is not None:
+            current = (np.asarray(self.action_low)
+                       + np.asarray(self.action_high)) / 2
+        else:
+            current = obs.reshape(self.act_dim, -1)[:, -1] \
+                if obs.size % self.act_dim == 0 else obs[-self.act_dim:]
         absolute = current + np.asarray(delta)
         if self.action_low is not None:
             absolute = np.clip(absolute, self.action_low, self.action_high)

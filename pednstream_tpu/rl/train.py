@@ -66,7 +66,8 @@ def build_agents(env, algo: str = "ppo", net_type: str = "attention",
             agents[agent_id] = SACAgent(
                 obs_dim=obs_dim, act_dim=act_dim,
                 action_low=space.low, action_high=space.high,
-                seed=seed + i, **kwargs,
+                seed=seed + i, is_separator=agent_id.startswith("sep"),
+                **kwargs,
             )
         elif algo == "rule_based":
             if agent_id.startswith("gate"):
@@ -154,23 +155,29 @@ def train_off_policy_multi_agent(
     best_reward = -np.inf
     total_steps = 0
     for episode in range(num_episodes):
-        obs, _ = env.reset(options={"randomize": randomize})
+        # off-policy replay tolerates mixed worlds, so keep 1-in-4
+        # episodes on the NOMINAL scenario: randomized demand draws are
+        # much lighter than nominal, and a buffer with no nominal
+        # congestion left the round-2 SAC zoo out of distribution on the
+        # paired nominal evaluation runs (docs/RESULTS.md)
+        ep_randomize = randomize and (episode % 4 != 3)
+        obs, _ = env.reset(options={"randomize": ep_randomize})
         for a in agents.values():
-            a.reset_hidden()
-        stacks = {aid: agents[aid]._stack(obs[aid]) for aid in agents}
+            a.reset_hidden()  # first push below tiles the reset obs
         done = False
         ep_reward = 0.0
         while not done:
-            deltas = {}
+            deltas, cur_stacks = {}, {}
             for aid in agents:
                 if total_steps < warmup_steps:
                     act_dim = agents[aid].act_dim
                     deltas[aid] = np.random.uniform(
                         -agents[aid].max_delta, agents[aid].max_delta, act_dim
                     ).astype(np.float32)
-                    agents[aid]._stack(obs[aid])
+                    agents[aid]._stack(obs[aid])  # keep the window rolling
                 else:
                     deltas[aid] = agents[aid].take_action(obs[aid])
+                cur_stacks[aid] = agents[aid].last_stack
             actions = {
                 aid: agents[aid].absolute_action(obs[aid], deltas[aid])
                 for aid in agents
@@ -178,12 +185,19 @@ def train_off_policy_multi_agent(
             next_obs, rewards, terms, truncs, infos = env.step(actions)
             done = any(terms.values()) or any(truncs.values())
             for aid in agents:
-                next_stack = agents[aid].last_stack
+                # the stored next state must INCLUDE next_obs (previously
+                # the pre-transition stack was stored, so the critic
+                # bootstrapped at the state the action was taken from);
+                # peek, don't push — take_action pushes next iteration.
+                # Deltas are stored RAW: SACAgent.update() normalizes by
+                # max_delta itself (double-dividing fed the critic
+                # actions in [-0.4, 0.4] while the actor optimized tanh
+                # outputs in [-1, 1] — the round-2 zoo's broken SAC).
+                next_stack = agents[aid].peek_stack(next_obs[aid])
                 agents[aid].store_transition(
-                    stacks[aid], deltas[aid] / max(agents[aid].max_delta, 1e-6),
+                    cur_stacks[aid], deltas[aid],
                     rewards.get(aid, 0.0), next_stack, done,
                 )
-                stacks[aid] = next_stack
                 ep_reward += infos.get(aid, {}).get(
                     "true_reward", rewards.get(aid, 0.0)
                 )

@@ -249,6 +249,42 @@ def scenario_separator_corridor(steps=300):
     return adj, params, [0, 5], [5, 0], None
 
 
+def scenario_grid10(steps=250):
+    # 10x10 synthesized grid in the grid_50x50 CONFIGURATION (same
+    # grid_adjacency generator, same default_link / path_finder / demand
+    # style, corner origins -> mid destinations, center gater) — the
+    # correctness anchor for the synthesized-topology path the 10k-link
+    # flagship bench number rides on (grid_50x50 itself has no feasible
+    # reference run)
+    from pednstream_tpu.config import grid_adjacency
+
+    n = 10 * 10
+    adj = grid_adjacency(10, 10).astype(int)
+    corners = [0, 9, n - 10, n - 1]
+    mids = [5, n - 6]
+    params = {
+        "unit_time": 10,
+        "simulation_steps": steps,
+        "seed": 42,
+        "assign_flows_type": "classic",
+        "path_finder": {"k_paths": 2, "temp": 5, "alpha": 1, "beta": 0.5,
+                        "omega": 0.8},
+        "default_link": {
+            "length": 50, "width": 4, "free_flow_speed": 1.1,
+            "k_critical": 2, "k_jam": 6, "gamma": 0.01,
+            "speed_noise_std": 0, "fd_type": "yperman", "bi_factor": 1,
+            "activity_probability": 0,
+        },
+        "controllers": {"enabled": True, "nodes": [44]},  # grid center
+        "demand": {
+            f"origin_{o}": {"pattern": "gaussian_peaks", "peak_lambda": 40,
+                            "base_lambda": 15}
+            for o in corners
+        },
+    }
+    return adj, params, corners, mids, None
+
+
 SCENARIOS = {
     "long_corridor": scenario_long_corridor,
     "nine_node": scenario_nine_node,
@@ -256,6 +292,7 @@ SCENARIOS = {
     "optimal_diamond": scenario_optimal_diamond,
     "grid7": scenario_grid7,
     "separator_corridor": scenario_separator_corridor,
+    "grid10": scenario_grid10,
 }
 
 

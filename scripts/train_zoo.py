@@ -28,6 +28,12 @@ DATASETS = {
     "butterfly_scC": (15, 120, 30),
     "two_coordinators": (15, 100, 20),
     "45_intersections": (15, 100, 20),
+    # reference-zoo breadth (rl/ppo_agents_one_intersection_v0,
+    # rl/ppo_agents_small_network) + the one shipped SEPARATOR scenario
+    # (data/long_corridor/sim_params.yaml controllers.links: ["2-3"])
+    "one_intersection_v0": (15, 100, 30),
+    "small_network": (15, 100, 30),
+    "long_corridor": (10, 120, 30),
 }
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -35,16 +41,26 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def train_ppo(dataset: str, action_gap: int, iterations: int,
-              num_envs: int = 256, rollout_len: int = 16, seed: int = 0):
+              num_envs: int = 256, rollout_len: int = 16, seed: int = 0,
+              use_mesh: bool = False, net_type: str = "attention",
+              prefix: str = "ppo"):
     import jax
 
     from pednstream_tpu.env import PedNetParallelEnv
     from pednstream_tpu.rl.batched_ppo import BatchedPPOTrainer
 
+    mesh = None
+    if use_mesh:
+        from pednstream_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # all visible devices on the env axis
+        print(f"[{dataset}] training sharded over {mesh.devices.size} devices",
+              flush=True)
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
                             action_gap=action_gap, history_window=64)
     tr = BatchedPPOTrainer(env.core, num_envs=num_envs, rollout_len=rollout_len,
-                           net_type="attention", randomize=True,
+                           mesh=mesh,
+                           net_type=net_type, randomize=True,
                            # randomized-only worlds (the reference's
                            # setup).  Mixing in nominal heavy-demand
                            # replicas (randomize_fraction < 1) was tried
@@ -73,20 +89,29 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
             print(f"[{dataset}] ppo iter {i}: reward {rew:.0f}", flush=True)
     train_time = time.time() - t0
 
-    out = os.path.join(ART, f"ppo_agents_{dataset}")
+    out = os.path.join(ART, f"{prefix}_agents_{dataset}")
     os.makedirs(out, exist_ok=True)
     # export per-agent checkpoints in the PPOAgent.save format so
     # rl.evaluate's build_agents + load_all_agents pick them up directly
     # (the trainer and PPOAgent share the same Flax modules)
     fpl = 4  # option2
+    sep_ids = env.spec_agents.sep_ids
     for aid, meta in tr.agents.items():
         if aid == "sep":
-            continue
-        with open(os.path.join(out, f"{aid}.pkl"), "wb") as f:
+            # the trainer's separator pseudo-agent covers all separators
+            # jointly; with exactly one it maps 1:1 onto the eval-side
+            # PPOAgent (flat LSTM, obs_dim 4, act_dim 1) and exports
+            # under the discovered sep_u_v id
+            if len(sep_ids) != 1:
+                continue
+            fname, a_net, a_fpl = f"{sep_ids[0]}.pkl", "lstm", None
+        else:
+            fname, a_net, a_fpl = f"{aid}.pkl", net_type, fpl
+        with open(os.path.join(out, fname), "wb") as f:
             pickle.dump({
                 "config": {
                     "obs_dim": meta["obs_dim"], "act_dim": meta["act_dim"],
-                    "features_per_link": fpl, "net_type": "attention",
+                    "features_per_link": a_fpl, "net_type": a_net,
                     "hidden_dim": tr.hidden_dim, "gamma": tr.gamma,
                     "lmbda": tr.lmbda, "eps_clip": tr.eps_clip,
                     "epochs": tr.epochs, "kl_target": tr.kl_target,
@@ -98,7 +123,7 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
             }, f)
     with open(os.path.join(out, "config.json"), "w") as f:
         json.dump({"dataset": dataset, "trainer": "BatchedPPOTrainer",
-                   "net_type": "attention", "randomize": True,
+                   "net_type": net_type, "randomize": True,
                    "num_envs": num_envs, "rollout_len": rollout_len,
                    "iterations": iterations, "action_gap": action_gap,
                    "obs_mode": "option2", "train_time_s": round(train_time, 1),
@@ -162,11 +187,12 @@ def evaluate_zoo(dataset: str, action_gap: int, ppo_dir: str,
 
 def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
         with_mpc: bool = False, ppo_iters: int = None, sac_eps: int = None,
-        eval_only: bool = False):
+        eval_only: bool = False, use_mesh: bool = False):
     action_gap, d_ppo, d_sac = DATASETS[dataset]
     ppo_dir = os.path.join(ART, f"ppo_agents_{dataset}")
     if not eval_only:
-        ppo_dir = train_ppo(dataset, action_gap, ppo_iters or d_ppo)
+        ppo_dir = train_ppo(dataset, action_gap, ppo_iters or d_ppo,
+                            use_mesh=use_mesh)
     sac_dir = os.path.join(ART, f"sac_agents_{dataset}")
     if not skip_sac and not eval_only:
         sac_dir = train_sac(dataset, action_gap, sac_eps or d_sac)
@@ -188,6 +214,9 @@ def main():
     p.add_argument("--eval-only", action="store_true",
                    help="re-evaluate existing artifacts/zoo checkpoints "
                         "without retraining")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard training over all visible devices (the "
+                        "trainer establishes the env-axis shardings)")
     args = p.parse_args()
 
     names = list(DATASETS) if args.all else [args.dataset or "butterfly_scC"]
@@ -195,7 +224,7 @@ def main():
         run(name, skip_sac=args.skip_sac, skip_eval=args.skip_eval,
             with_mpc=args.with_mpc and name == "butterfly_scC",
             ppo_iters=args.ppo_iters, sac_eps=args.sac_episodes,
-            eval_only=args.eval_only)
+            eval_only=args.eval_only, use_mesh=args.mesh)
 
 
 if __name__ == "__main__":

@@ -121,13 +121,20 @@ def test_mesh_sharded_batched_ppo_matches_unsharded(core):
     ts_plain = t_plain.init(jax.random.PRNGKey(4))
     ts_plain, m_plain = t_plain.train_iteration(ts_plain)
 
+    # the TRAINER establishes shardings: init places the batch axis over
+    # the mesh's env axis and replicates params; the caller passes plain
+    # state through unchanged
     t_mesh = BatchedPPOTrainer(core, mesh=mesh, **kw)
     ts_mesh = t_mesh.init(jax.random.PRNGKey(4))
-    ts_mesh = ts_mesh.replace(
-        env_states=shard_batch(ts_mesh.env_states, mesh),
-        obs=shard_batch(ts_mesh.obs, mesh),
-    )
+    assert ts_mesh.env_states.density.sharding.spec == P("env")
+    p_leaf = jax.tree_util.tree_leaves(ts_mesh.params)[0]
+    assert p_leaf.sharding.is_fully_replicated
     ts_mesh, m_mesh = t_mesh.train_iteration(ts_mesh)
+    # the iteration keeps the layout: env state stays sharded, params
+    # replicated, across the full rollout + minibatch-update program
+    assert len(ts_mesh.env_states.density.sharding.device_set) == 8
+    p_leaf = jax.tree_util.tree_leaves(ts_mesh.params)[0]
+    assert p_leaf.sharding.is_fully_replicated
 
     # GSPMD partitioning must not change the math: same losses, same
     # updated parameters as the single-device run
