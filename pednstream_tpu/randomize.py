@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .state import EngineParams
 
@@ -59,20 +60,28 @@ def randomize_engine_params(scn, key: jax.Array) -> EngineParams:
     # version — made randomized worlds far MORE jammed than the
     # reference's, drowning the RL signal.)
     # OD-node activation (in-vmap analog of the reference's k-hop OD
-    # edits, env_loader.py:261-359: p=0.5 add 1-2 two-hop neighbours,
-    # p=0.5 drop, p=0.5 swap — approximated here as independent
-    # activations: nominal nodes stay active w.p. 0.75, candidates open
-    # w.p. 0.3; a replica whose draw empties a side falls back to the
-    # nominal set, mirroring the reference's "keep at least one" guards)
+    # edits, env_loader.py:261-359: p=0.5 add one two-hop neighbour,
+    # p=0.5 drop one, p=0.5 swap — approximated here as independent
+    # activations: nominal nodes stay active w.p. 0.75 (≈ per-node
+    # survival under the remove move), candidates open w.p.
+    # 0.5/n_candidates so the EXPECTED number of opened candidates is
+    # 0.5 per side regardless of pool size, matching the ADD move's
+    # at-most-one-w.p.-0.5.  The resulting origin-set-size marginal is
+    # quantified against the reference's edit-move distribution in
+    # tests/test_randomize_od.py and docs/PARITY.md.  A replica whose
+    # draw empties a side falls back to the nominal set, mirroring the
+    # reference's "keep at least one" guards.
     if getattr(scn, "od_randomizable", False):
         nom_o = jnp.asarray(scn.nominal_origin_mask)
         nom_d = jnp.asarray(scn.nominal_dest_mask)
         cand_o = jnp.asarray(scn.candidate_origin_mask)
         cand_d = jnp.asarray(scn.candidate_dest_mask)
+        p_cand_o = 0.5 / max(int(np.sum(scn.candidate_origin_mask)), 1)
+        p_cand_d = 0.5 / max(int(np.sum(scn.candidate_dest_mask)), 1)
         u_o = jax.random.uniform(k_oact, (scn.n_nodes,))
         u_d = jax.random.uniform(k_dact, (scn.n_nodes,))
-        o_act = (nom_o & (u_o < 0.75)) | (cand_o & (u_o < 0.3))
-        d_act = (nom_d & (u_d < 0.75)) | (cand_d & (u_d < 0.3))
+        o_act = (nom_o & (u_o < 0.75)) | (cand_o & (u_o < p_cand_o))
+        d_act = (nom_d & (u_d < 0.75)) | (cand_d & (u_d < p_cand_d))
         o_act = jnp.where(o_act.any(), o_act, nom_o)
         d_act = jnp.where(d_act.any(), d_act, nom_d)
         base_demand = jnp.asarray(scn.demand_full) * o_act[:, None]

@@ -171,10 +171,17 @@ def evaluate_zoo(dataset: str, action_gap: int, ppo_dir: str,
     results = evaluate_agents(dataset, algos, num_runs=num_runs,
                               output_dir=out_dir, obs_mode="option2",
                               action_gap=action_gap, checkpoint_dirs=ckpts)
-    if with_mpc:
+    if with_mpc and dataset != "long_corridor":
+        # the MPC baseline controls GATES only (reference
+        # optimization_based.py has no separator support); long_corridor
+        # is separator-only, so an MPC row there would duplicate
+        # no_control
+        t_mpc = time.time()
         mpc = evaluate_agents(dataset, ["optimization"], num_runs=1,
                               output_dir=out_dir, obs_mode="option2",
                               action_gap=action_gap)
+        for row in mpc.get("optimization", []):
+            row["wall_s"] = round(time.time() - t_mpc, 1)
         results.update(mpc)
     table = summarize(results)
     with open(os.path.join(out_dir, "results.json"), "w") as f:
@@ -222,7 +229,7 @@ def main():
     names = list(DATASETS) if args.all else [args.dataset or "butterfly_scC"]
     for name in names:
         run(name, skip_sac=args.skip_sac, skip_eval=args.skip_eval,
-            with_mpc=args.with_mpc and name == "butterfly_scC",
+            with_mpc=args.with_mpc,
             ppo_iters=args.ppo_iters, sac_eps=args.sac_episodes,
             eval_only=args.eval_only, use_mesh=args.mesh)
 
