@@ -242,9 +242,15 @@ def init_train_state(core, key):
 
 
 def make_dp_train_step(core, mesh, axis: str = "env"):
-    """One sharded one-step REINFORCE update (adv = r - mean r): local
-    replicas step on each device; the replicated-params out_sharding
-    makes GSPMD all-reduce the gradients over the mesh."""
+    """DEMO ONLY — do not train with this.  One sharded one-step
+    REINFORCE update (adv = r - mean r): local replicas step on each
+    device; the replicated-params out_sharding makes GSPMD all-reduce
+    the gradients over the mesh.  It exists as the smallest-possible
+    sharded-update exhibit for the multi-chip dryrun and
+    tests/test_parallel.py; the production trainer is
+    rl.batched_ppo.BatchedPPOTrainer(mesh=...), which shards the same
+    way with a real PPO objective, recurrent policies, and domain
+    randomization."""
     spec = core.spec
     batch_sh = NamedSharding(mesh, P(axis))
     repl_sh = NamedSharding(mesh, P())

@@ -37,7 +37,11 @@ def render_dataset(name: str, results: dict) -> str:
               "paired randomized worlds):", ""]
     for algo, runs in results.items():
         rr = ", ".join(f"run{r['run']}: {r['total_reward']:.0f}" for r in runs)
-        lines.append(f"- **{algo}**: {rr}")
+        extra = ""
+        if algo == "optimization" and runs and runs[0].get("wall_s"):
+            extra = (f" (single run — the DE inner optimizer costs "
+                     f"{runs[0]['wall_s']:.0f}s wall per episode)")
+        lines.append(f"- **{algo}**: {rr}{extra}")
     lines.append("")
     return "\n".join(lines)
 
@@ -49,21 +53,39 @@ def main():
                                               "results.json"))):
         name = os.path.basename(os.path.dirname(path))[len("eval_"):]
         with open(path) as f:
-            sections.append(render_dataset(name, json.load(f)))
-        cj = os.path.join(REPO, "artifacts", "zoo", f"ppo_agents_{name}",
+            results = json.load(f)
+        if name == "45_intersections":
+            # byte-identical to two_coordinators (verified against the
+            # reference with diff -r) — one table, different seed noted
+            name = ("45_intersections (byte-identical dataset to "
+                    "two_coordinators; second training seed)")
+        elif name == "45_intersections_lstm":
+            name = ("45_intersections — lstm_ppo family variant "
+                    "(reference rl/lstm_ppo_agents_45_intersections)")
+        sections.append(render_dataset(name, results))
+        base = os.path.basename(os.path.dirname(path))[len("eval_"):]
+        cj = os.path.join(REPO, "artifacts", "zoo", f"ppo_agents_{base}",
                           "curve.json")
         if os.path.exists(cj):
             with open(cj) as f:
                 curve = json.load(f)
             r0 = curve[0]["reward"]
-            rb = min(c["reward"] for c in curve)
             rl = np.mean([c["reward"] for c in curve[-10:]])
             cfg = json.load(open(os.path.join(os.path.dirname(cj), "config.json")))
+            per_iter = cfg["engine_steps"] / len(curve)
+            if "wall_s" in curve[0] and len(curve) > 1:
+                compile_s = curve[0]["wall_s"]
+                steady = float(np.median([c["wall_s"] for c in curve[1:]]))
+                timing = (f"compile {compile_s:.0f}s + "
+                          f"{steady*1e3:.0f} ms/iteration steady-state "
+                          f"({per_iter/steady/1e3:.0f}k engine-steps/s)")
+            else:
+                timing = (f"{cfg['train_time_s']:.0f}s compile-INCLUSIVE "
+                          f"({cfg['engine_steps']/cfg['train_time_s']/1e3:.0f}k "
+                          f"steps/s lower bound)")
             curves.append(
-                f"- **{name}**: {len(curve)} iterations, "
-                f"{cfg['engine_steps']/1e6:.1f}M engine steps in "
-                f"{cfg['train_time_s']:.0f}s "
-                f"({cfg['engine_steps']/cfg['train_time_s']/1e3:.0f}k steps/s); "
+                f"- **{base}**: {len(curve)} iterations, "
+                f"{cfg['engine_steps']/1e6:.1f}M engine steps; {timing}; "
                 f"reward {r0:.0f} (start) -> {rl:.0f} (last-10 mean)"
             )
 

@@ -81,9 +81,13 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
     curve = []
     t0 = time.time()
     for i in range(iterations):
+        t_it = time.time()
         ts, m = tr.train_iteration(ts)
         rew = float(sum(v for k, v in m.items() if k.endswith("/reward")))
+        # per-iteration wall time: iteration 0 carries the trainer
+        # compile, so RESULTS.md can split compile vs steady-state
         curve.append({"iteration": i, "reward": rew,
+                      "wall_s": round(time.time() - t_it, 3),
                       **{k: v for k, v in m.items()}})
         if i % 10 == 0 or i == iterations - 1:
             print(f"[{dataset}] ppo iter {i}: reward {rew:.0f}", flush=True)
@@ -148,6 +152,9 @@ def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0):
     history = train_off_policy_multi_agent(
         wrapped, agents, num_episodes=episodes, randomize=True,
         warmup_steps=100,
+        log_fn=lambda ep, h: print(
+            f"[{dataset}] sac ep {ep}: reward {h['reward']:.0f}", flush=True)
+        if ep % 5 == 0 else None,
     )
     out = os.path.join(ART, f"sac_agents_{dataset}")
     save_all_agents(agents, out, env=wrapped)
