@@ -90,6 +90,7 @@ def test_fast_vs_parity_diffusion_in_engine():
     np.testing.assert_allclose(runs[True], runs[False], atol=5e-3)
 
 
+@pytest.mark.slow
 def test_pallas_engine_path_identical():
     """The fused Pallas history kernel wired into the engine
     (scn.use_pallas) reproduces the XLA one-hot path bit-for-bit over a

@@ -84,6 +84,7 @@ def _ref_runs():
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+@pytest.mark.slow
 @pytest.mark.parametrize("binomial_mode", ["exact", "fast"])
 def test_stochastic_distribution_parity(binomial_mode):
     ours_arr, ours_dens = _our_runs(binomial_mode)
