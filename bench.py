@@ -1,6 +1,6 @@
 """Headline benchmark: aggregate LTM engine throughput on the melbourne
 network (341 nodes / 938 directed links), the largest bundled real-world
-scenario, with 512 vmapped stochastic env replicas stepping in lockstep
+scenario, with 768 vmapped stochastic env replicas stepping in lockstep
 on one chip — the TPU-native design point (BASELINE.json north star:
 >= 1e5 LTM steps/s at melbourne scale).
 
@@ -20,7 +20,9 @@ import sys
 import time
 
 REFERENCE_MELBOURNE_STEPS_PER_S = 21.05  # measured 2026-08-16, this host
-BATCH = 512
+# round-3 B-sweep with the one-pass ring reads: 512 -> 615k, 768 ->
+# 635k, 1024 -> 627k env-steps/s; the sweet spot moved up from 512
+BATCH = 768
 WINDOW = 64  # windowed-history mode for the batched RL-training config
 # one COMPLETE simulation per timed run (the scenarios' full 500-step
 # horizon): measuring a 100-step window under-reported steady-state
@@ -151,7 +153,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "melbourne aggregate LTM env-steps/s, 512 vmapped stochastic "
+                    "melbourne aggregate LTM env-steps/s, 768 vmapped stochastic "
                     "replicas (938 links, hybrid binomial sampler) on 1 chip; "
                     "baseline = reference single-process CPU steps/s"
                 ),

@@ -48,7 +48,7 @@ def main():
         gap, ppo_iters, sac_eps = DATASETS[name]
         try:
             if args.phase == "ppo":
-                train_ppo(name, gap, ppo_iters)
+                train_ppo(name, gap, ppo_iters, seeds=3)
             elif args.phase == "sac":
                 train_sac(name, gap, sac_eps)
             elif args.phase == "eval":
@@ -65,7 +65,7 @@ def main():
         try:
             gap, ppo_iters, _ = DATASETS["45_intersections"]
             lstm_dir = train_ppo("45_intersections", gap, ppo_iters,
-                                 net_type="lstm", prefix="lstm_ppo")
+                                 net_type="lstm", prefix="lstm_ppo", seeds=2)
             print(f"lstm variant -> {lstm_dir}", flush=True)
         except Exception:
             print(f"[lstm_ppo] FAILED:\n{traceback.format_exc()}", flush=True)

@@ -40,10 +40,31 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "zoo")
 
 
+def _validate_ppo_dir(dataset: str, action_gap: int, ckpt_dir: str,
+                      episodes: int = 1, seed: int = 123):
+    """Greedy-policy validation of an exported checkpoint: mean total
+    true reward over one NOMINAL and one randomized episode (the nominal
+    run is what the paired evaluation leads with — training reward alone
+    is blind to a nominal-regime collapse)."""
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.rl_utils import load_all_agents, validate_agents
+    from pednstream_tpu.rl.train import build_agents
+
+    env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
+                            action_gap=action_gap, history_window=64)
+    agents = build_agents(env, algo="ppo")
+    load_all_agents(agents, ckpt_dir)
+    nominal = validate_agents(env, agents, num_episodes=episodes,
+                              randomize=False)
+    randomized = validate_agents(env, agents, num_episodes=episodes,
+                                 randomize=True)
+    return nominal + randomized, {"nominal": nominal, "randomized": randomized}
+
+
 def train_ppo(dataset: str, action_gap: int, iterations: int,
               num_envs: int = 256, rollout_len: int = 16, seed: int = 0,
               use_mesh: bool = False, net_type: str = "attention",
-              prefix: str = "ppo"):
+              prefix: str = "ppo", seeds: int = 1):
     import jax
 
     from pednstream_tpu.env import PedNetParallelEnv
@@ -76,28 +97,75 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
                            # engine steps: ~1e4-1e5 per RL step on jammed
                            # scenarios; scale into a sane value-target range
                            reward_scale=1e-4)
-    ts = tr.init(jax.random.PRNGKey(seed))
 
-    curve = []
-    t0 = time.time()
-    for i in range(iterations):
-        t_it = time.time()
-        ts, m = tr.train_iteration(ts)
-        rew = float(sum(v for k, v in m.items() if k.endswith("/reward")))
-        # per-iteration wall time: iteration 0 carries the trainer
-        # compile, so RESULTS.md can split compile vs steady-state
-        curve.append({"iteration": i, "reward": rew,
-                      "wall_s": round(time.time() - t_it, 3),
-                      **{k: v for k, v in m.items()}})
-        if i % 10 == 0 or i == iterations - 1:
-            print(f"[{dataset}] ppo iter {i}: reward {rew:.0f}", flush=True)
-    train_time = time.time() - t0
+    # seed selection (the reference's validate-and-save-best practice,
+    # rl_utils.py:437-496, applied across seeds): train `seeds`
+    # independent runs reusing ONE compiled trainer, score each exported
+    # checkpoint by greedy validation on a nominal + a randomized
+    # episode, ship the best.  Training reward alone masked
+    # nominal-regime collapses (it is measured on randomized worlds).
+    best = None
+    for s in range(seeds):
+        ts = tr.init(jax.random.PRNGKey(seed + 1000 * s))
+        curve = []
+        t0 = time.time()
+        for i in range(iterations):
+            t_it = time.time()
+            ts, m = tr.train_iteration(ts)
+            rew = float(sum(v for k, v in m.items() if k.endswith("/reward")))
+            # per-iteration wall time: iteration 0 carries the trainer
+            # compile, so RESULTS.md can split compile vs steady-state
+            curve.append({"iteration": i, "reward": rew,
+                          "wall_s": round(time.time() - t_it, 3),
+                          **{k: v for k, v in m.items()}})
+            if i % 20 == 0 or i == iterations - 1:
+                print(f"[{dataset}] ppo seed {s} iter {i}: reward {rew:.0f}",
+                      flush=True)
+        train_time = time.time() - t0
+        if best is None or seeds > 1:
+            cand = dict(ts=ts, curve=curve, train_time=train_time, seed=s)
+            if seeds > 1:
+                tmp = os.path.join(ART, f".seedtmp_{prefix}_{dataset}_{s}")
+                _export_ppo(tmp, tr, ts, env, net_type, iterations,
+                            dataset, num_envs, rollout_len, action_gap,
+                            train_time, curve)
+                score, detail = _validate_ppo_dir(dataset, action_gap, tmp)
+                cand["score"], cand["detail"] = score, detail
+                print(f"[{dataset}] ppo seed {s} validation: {detail}",
+                      flush=True)
+            else:
+                cand["score"], cand["detail"] = 0.0, {}
+            if best is None or cand["score"] > best["score"]:
+                best = cand
+    ts, curve, train_time = best["ts"], best["curve"], best["train_time"]
+    if seeds > 1:
+        print(f"[{dataset}] ppo selected seed {best['seed']} "
+              f"(validation {best['detail']})", flush=True)
+        import shutil
+
+        for s in range(seeds):
+            tmp = os.path.join(ART, f".seedtmp_{prefix}_{dataset}_{s}")
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
 
     out = os.path.join(ART, f"{prefix}_agents_{dataset}")
+    _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
+                rollout_len, action_gap, train_time, curve,
+                extra={"seeds_trained": seeds,
+                       "selected_seed": best.get("seed", 0),
+                       "seed_validation": best.get("detail", {})})
+    print(f"[{dataset}] ppo done in {train_time:.0f}s -> {out}", flush=True)
+    return out
+
+
+def _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
+                rollout_len, action_gap, train_time, curve, extra=None):
+    """Export trainer params as per-agent PPOAgent-format checkpoints so
+    rl.evaluate's build_agents + load_all_agents pick them up directly
+    (the trainer and PPOAgent share the same Flax modules)."""
+    import jax
+
     os.makedirs(out, exist_ok=True)
-    # export per-agent checkpoints in the PPOAgent.save format so
-    # rl.evaluate's build_agents + load_all_agents pick them up directly
-    # (the trainer and PPOAgent share the same Flax modules)
     fpl = 4  # option2
     sep_ids = env.spec_agents.sep_ids
     for aid, meta in tr.agents.items():
@@ -131,12 +199,11 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
                    "num_envs": num_envs, "rollout_len": rollout_len,
                    "iterations": iterations, "action_gap": action_gap,
                    "obs_mode": "option2", "train_time_s": round(train_time, 1),
-                   "engine_steps": num_envs * rollout_len * action_gap * iterations},
+                   "engine_steps": num_envs * rollout_len * action_gap * iterations,
+                   **(extra or {})},
                   f, indent=2)
     with open(os.path.join(out, "curve.json"), "w") as f:
         json.dump(curve, f)
-    print(f"[{dataset}] ppo done in {train_time:.0f}s -> {out}", flush=True)
-    return out
 
 
 def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0):
