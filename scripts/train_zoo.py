@@ -105,9 +105,11 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
     # episode, ship the best.  Training reward alone masked
     # nominal-regime collapses (it is measured on randomized worlds).
     best = None
+    select = seeds > 1
     for s in range(seeds):
         ts = tr.init(jax.random.PRNGKey(seed + 1000 * s))
         curve = []
+        snap, snap_rew, snap_iter = None, -float("inf"), -1
         t0 = time.time()
         for i in range(iterations):
             t_it = time.time()
@@ -118,41 +120,55 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
             curve.append({"iteration": i, "reward": rew,
                           "wall_s": round(time.time() - t_it, 3),
                           **{k: v for k, v in m.items()}})
+            # validate-and-save-best analog (reference rl_utils.py:
+            # 437-496): training is not monotone — snapshot the params at
+            # the best training reward after warmup so a late collapse
+            # does not decide the shipped checkpoint
+            if select and i >= iterations // 4 and rew > snap_rew:
+                import jax as _jax
+
+                snap_rew, snap_iter = rew, i
+                snap = (_jax.device_get(ts.params),
+                        _jax.device_get(ts.value_params))
             if i % 20 == 0 or i == iterations - 1:
                 print(f"[{dataset}] ppo seed {s} iter {i}: reward {rew:.0f}",
                       flush=True)
         train_time = time.time() - t0
-        if best is None or seeds > 1:
-            cand = dict(ts=ts, curve=curve, train_time=train_time, seed=s)
-            if seeds > 1:
-                tmp = os.path.join(ART, f".seedtmp_{prefix}_{dataset}_{s}")
-                _export_ppo(tmp, tr, ts, env, net_type, iterations,
+        cands = [dict(ts=ts, curve=curve, train_time=train_time, seed=s,
+                      which="final", score=0.0, detail={})]
+        if snap is not None and snap_iter < iterations - 1:
+            ts_snap = ts.replace(params=snap[0], value_params=snap[1])
+            cands.append(dict(ts=ts_snap, curve=curve, train_time=train_time,
+                              seed=s, which=f"best-train-iter{snap_iter}",
+                              score=0.0, detail={}))
+        for cand in cands:
+            if select:
+                tmp = os.path.join(ART, f".seedtmp_{prefix}_{dataset}")
+                _export_ppo(tmp, tr, cand["ts"], env, net_type, iterations,
                             dataset, num_envs, rollout_len, action_gap,
                             train_time, curve)
                 score, detail = _validate_ppo_dir(dataset, action_gap, tmp)
                 cand["score"], cand["detail"] = score, detail
-                print(f"[{dataset}] ppo seed {s} validation: {detail}",
-                      flush=True)
-            else:
-                cand["score"], cand["detail"] = 0.0, {}
+                print(f"[{dataset}] ppo seed {s} [{cand['which']}] "
+                      f"validation: {detail}", flush=True)
             if best is None or cand["score"] > best["score"]:
                 best = cand
     ts, curve, train_time = best["ts"], best["curve"], best["train_time"]
-    if seeds > 1:
+    if select:
         print(f"[{dataset}] ppo selected seed {best['seed']} "
-              f"(validation {best['detail']})", flush=True)
+              f"[{best['which']}] (validation {best['detail']})", flush=True)
         import shutil
 
-        for s in range(seeds):
-            tmp = os.path.join(ART, f".seedtmp_{prefix}_{dataset}_{s}")
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
+        tmp = os.path.join(ART, f".seedtmp_{prefix}_{dataset}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
 
     out = os.path.join(ART, f"{prefix}_agents_{dataset}")
     _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
                 rollout_len, action_gap, train_time, curve,
                 extra={"seeds_trained": seeds,
                        "selected_seed": best.get("seed", 0),
+                       "selected_checkpoint": best.get("which", "final"),
                        "seed_validation": best.get("detail", {})})
     print(f"[{dataset}] ppo done in {train_time:.0f}s -> {out}", flush=True)
     return out
