@@ -101,7 +101,11 @@ class BatchedPPOTrainer:
         randomize: bool = False,
         randomize_fraction: float = 1.0,
         mesh=None,
+        gate_anchor: str = "current",
     ):
+        if gate_anchor not in ("current", "open"):
+            raise ValueError("gate_anchor must be 'current' or 'open'")
+        self.gate_anchor = gate_anchor
         if num_envs % minibatches:
             raise ValueError("num_envs must divide evenly into minibatches")
         self.core = core
@@ -305,8 +309,19 @@ class BatchedPPOTrainer:
 
     def _absolute(self, aid, obs_a, delta):
         meta = self.agents[aid]
-        if meta["fpl"]:  # gate: current width is the last feature per link
+        if meta["fpl"] and self.gate_anchor == "current":
+            # reference semantics: delta from the current width (the last
+            # feature per link) — an INTEGRATOR: width follows a random
+            # walk under an imperfect policy, which drifts gates shut on
+            # out-of-distribution demand (PPO_backup.py:848-851)
             cur = obs_a.reshape(obs_a.shape[0], meta["act_dim"], -1)[:, :, -1]
+        elif meta["fpl"]:
+            # 'open' anchor: absolute target = full-open + learned
+            # offset.  Integrator-free — a zero-output policy IS the
+            # no-control policy, so training explores around the sane
+            # baseline instead of around closure drift; the env's rate
+            # limiter still applies the reference's actuation dynamics.
+            cur = jnp.broadcast_to(meta["high"], delta.shape)
         else:  # separator: target is absolute width around the midpoint
             cur = (meta["low"] + meta["high"]) / 2
             cur = jnp.broadcast_to(cur, delta.shape)

@@ -72,6 +72,13 @@ class PPOAgent:
         self.noise_scale = noise_scale
         self.noise_decay_steps = noise_decay_steps
         self.stack_size = stack_size
+        # gate delta anchoring: 'current' = reference semantics
+        # (PPO_backup.py:848-851, delta from the current width — an
+        # integrator); 'open' = absolute target full-open + offset
+        # (integrator-free; what BatchedPPOTrainer(gate_anchor='open')
+        # trains).  Restored from the checkpoint on load so eval always
+        # matches training.
+        self.gate_anchor = "current"
         self._episode = 0
         self._key = jax.random.PRNGKey(seed)
 
@@ -197,7 +204,9 @@ class PPOAgent:
         ship), which saturates the clip almost immediately.  The batched
         trainer uses the same midpoint rule, so train and eval agree."""
         obs = np.asarray(obs, np.float32)
-        if self.features_per_link:
+        if self.features_per_link and self.gate_anchor == "open":
+            current = np.asarray(self.action_high)
+        elif self.features_per_link:
             current = obs.reshape(self.act_dim, -1)[:, -1]
         elif self.action_low is not None:
             current = (np.asarray(self.action_low)
@@ -300,6 +309,7 @@ class PPOAgent:
             "gamma": self.gamma, "lmbda": self.lmbda,
             "eps_clip": self.eps_clip, "epochs": self.epochs,
             "kl_target": self.kl_target, "max_delta": self.max_delta,
+            "gate_anchor": self.gate_anchor,
         }
 
     def save(self, path: str):
@@ -319,6 +329,14 @@ class PPOAgent:
             data = pickle.load(f)
         self.actor_params = jax.device_put(data["actor"])
         self.critic_params = jax.device_put(data["critic"])
+        # the action parameterization travels WITH the params: a policy
+        # trained with the open anchor is meaningless under the
+        # current-width integrator and vice versa
+        self.gate_anchor = data.get("config", {}).get("gate_anchor",
+                                                      self.gate_anchor)
+        md = data.get("config", {}).get("max_delta")
+        if md is not None:
+            self.max_delta = md
         self._episode = data.get("episode", 0)
         self.actor_opt = self.actor_tx.init(self.actor_params)
         self.critic_opt = self.critic_tx.init(self.critic_params)

@@ -208,10 +208,17 @@ def validate_agents(env, agents: Dict, num_episodes: int = 3,
         done = False
         total = 0.0
         while not done:
-            actions = {
-                aid: agents[aid].take_action(obs[aid], explore=False)
-                for aid in agents
-            }
+            # delta -> absolute conversion, as the reference's validation
+            # does for delta_actions agents (rl_utils.py:332-341).  The
+            # raw delta is NOT a width; stepping with it silently
+            # evaluated a near-closed-gates policy for every agent.
+            actions = {}
+            for aid in agents:
+                delta = agents[aid].take_action(obs[aid], explore=False)
+                actions[aid] = (
+                    agents[aid].absolute_action(obs[aid], delta)
+                    if hasattr(agents[aid], "absolute_action") else delta
+                )
             obs, rewards, terms, truncs, infos = env.step(actions)
             total += sum(
                 infos[a].get("true_reward", rewards.get(a, 0.0)) for a in rewards

@@ -79,8 +79,14 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
               flush=True)
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
                             action_gap=action_gap, history_window=64)
+    # open-anchored gate actions: absolute target = full-open + learned
+    # offset (integrator-free; a zero policy IS no-control).  The offset
+    # range must cover full closure, so max_delta = the widest gate.
+    import numpy as np
+    gw = env.spec_agents.gate_link_widths
+    md = float(max((w.max() for w in gw), default=2.5))
     tr = BatchedPPOTrainer(env.core, num_envs=num_envs, rollout_len=rollout_len,
-                           mesh=mesh,
+                           mesh=mesh, gate_anchor="open", max_delta=md,
                            net_type=net_type, randomize=True,
                            # randomized-only worlds (the reference's
                            # setup).  Mixing in nominal heavy-demand
@@ -204,6 +210,7 @@ def _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
                     "lmbda": tr.lmbda, "eps_clip": tr.eps_clip,
                     "epochs": tr.epochs, "kl_target": tr.kl_target,
                     "max_delta": tr.max_delta,
+                    "gate_anchor": tr.gate_anchor,
                 },
                 "actor": jax.device_get(ts.params[aid]),
                 "critic": jax.device_get(ts.value_params[aid]),
