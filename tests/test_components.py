@@ -410,3 +410,41 @@ def test_interactive_html_export(tmp_path):
     assert "density" in data and "speed" in data
     assert len(data["density"][0]) == scn.n_links
     assert all(0 <= v <= 255 for v in data["density"][-1])
+
+
+def test_validate_agents_converts_deltas_to_absolute():
+    """validate_agents must step the env with ABSOLUTE widths, not raw
+    policy deltas (the reference converts, rl_utils.py:332-341).  A
+    zero-delta open-anchored agent is behaviorally identical to
+    no-control, so their validation totals must match exactly — before
+    the fix the raw near-zero deltas were applied as near-closed gate
+    widths and scored 4x worse."""
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.ppo import PPOAgent
+    from pednstream_tpu.rl.rl_utils import validate_agents
+    from pednstream_tpu.rl.train import build_agents
+
+    def fresh_env():
+        # one env per validation: the env PRNG advances across resets,
+        # so sharing an instance would give different stochastic draws
+        return PedNetParallelEnv("butterfly_scC", obs_mode="option2",
+                                 seed=7, action_gap=15, history_window=64)
+
+    env = fresh_env()
+    aid = env.possible_agents[0]
+    space = env.action_space(aid)
+    obs_space = env.observation_space(aid)
+
+    agent = PPOAgent(obs_dim=int(np.prod(obs_space.shape)),
+                     act_dim=int(np.prod(space.shape)),
+                     features_per_link=4, net_type="mlp",
+                     action_low=space.low, action_high=space.high)
+    agent.gate_anchor = "open"
+    agent.take_action = lambda obs, explore=True: np.zeros(
+        int(np.prod(space.shape)), np.float32)
+
+    total_zero_delta = validate_agents(env, {aid: agent}, num_episodes=1)
+    env2 = fresh_env()
+    nc = build_agents(env2, algo="no_control")
+    total_nc = validate_agents(env2, nc, num_episodes=1)
+    assert total_zero_delta == total_nc
