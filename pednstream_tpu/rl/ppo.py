@@ -82,45 +82,7 @@ class PPOAgent:
         self._episode = 0
         self._key = jax.random.PRNGKey(seed)
 
-        if net_type == "attention":
-            assert features_per_link, "attention nets need features_per_link"
-            self.num_links = obs_dim // features_per_link
-            self.actor = nets.AttentionPolicy(self.num_links, hidden_dim)
-            self.critic = nets.AttentionValue(self.num_links, hidden_dim)
-        elif net_type == "gat":
-            assert features_per_link, "gat nets need features_per_link"
-            self.num_links = obs_dim // features_per_link
-            self.actor = nets.GATLSTMPolicy(self.num_links, hidden_dim)
-            self.critic = nets.GATLSTMValue(self.num_links, hidden_dim)
-        elif net_type == "udlstm":
-            assert features_per_link, "udlstm nets need features_per_link"
-            self.num_links = obs_dim // features_per_link
-            self.actor = nets.UDLSTMPolicy(self.num_links, hidden_dim)
-            self.critic = nets.UDLSTMValue(self.num_links, hidden_dim)
-        elif net_type == "lstm":
-            self.num_links = None
-            self.actor = nets.LSTMPolicy(act_dim, hidden_dim)
-            self.critic = nets.LSTMValue(hidden_dim)
-        elif net_type == "stacked":
-            self.num_links = None
-            self.actor = nets.StackedPolicy(act_dim, hidden_dim)
-            self.critic = nets.StackedValue(hidden_dim)
-        elif net_type == "mlp":
-            self.num_links = None
-            self.actor = nets.MLPPolicy(act_dim)
-            self.critic = nets.MLPValue()
-        else:
-            raise ValueError(f"unknown net_type {net_type}")
-
-        # controlled-links adjacency for the GAT family: by default the
-        # links a gater controls all leave one node, so fully-connected
-        # is the faithful graph; callers may pass a sparser mask (e.g.
-        # shared-endpoint adjacency from env.agents.controlled_links_adjacency)
-        self.adj = None
-        if net_type == "gat":
-            self.adj = (jnp.asarray(adj, jnp.float32) if adj is not None
-                        else jnp.ones((self.num_links, self.num_links),
-                                      jnp.float32))
+        self._build_networks(adj)
 
         k1, k2, self._key = jax.random.split(self._key, 3)
         dummy = self._shape_obs(np.zeros(self._raw_obs_shape(), np.float32))
@@ -142,6 +104,53 @@ class PPOAgent:
         self._jit_forward = jax.jit(self._forward)
         self._jit_epoch = jax.jit(self._epoch_update)
         self._jit_seq = jax.jit(self._sequence_forward)
+
+    def _build_networks(self, adj=None):
+        """Instantiate the actor/critic modules for self.net_type.
+
+        Factored out of __init__ so load() can swap the architecture to
+        the checkpoint's recorded net_type (a checkpoint's params are
+        meaningless applied to a different module tree)."""
+        net_type, hidden_dim = self.net_type, self.hidden_dim
+        if net_type == "attention":
+            assert self.features_per_link, "attention nets need features_per_link"
+            self.num_links = self.obs_dim // self.features_per_link
+            self.actor = nets.AttentionPolicy(self.num_links, hidden_dim)
+            self.critic = nets.AttentionValue(self.num_links, hidden_dim)
+        elif net_type == "gat":
+            assert self.features_per_link, "gat nets need features_per_link"
+            self.num_links = self.obs_dim // self.features_per_link
+            self.actor = nets.GATLSTMPolicy(self.num_links, hidden_dim)
+            self.critic = nets.GATLSTMValue(self.num_links, hidden_dim)
+        elif net_type == "udlstm":
+            assert self.features_per_link, "udlstm nets need features_per_link"
+            self.num_links = self.obs_dim // self.features_per_link
+            self.actor = nets.UDLSTMPolicy(self.num_links, hidden_dim)
+            self.critic = nets.UDLSTMValue(self.num_links, hidden_dim)
+        elif net_type == "lstm":
+            self.num_links = None
+            self.actor = nets.LSTMPolicy(self.act_dim, hidden_dim)
+            self.critic = nets.LSTMValue(hidden_dim)
+        elif net_type == "stacked":
+            self.num_links = None
+            self.actor = nets.StackedPolicy(self.act_dim, hidden_dim)
+            self.critic = nets.StackedValue(hidden_dim)
+        elif net_type == "mlp":
+            self.num_links = None
+            self.actor = nets.MLPPolicy(self.act_dim)
+            self.critic = nets.MLPValue()
+        else:
+            raise ValueError(f"unknown net_type {net_type}")
+
+        # controlled-links adjacency for the GAT family: by default the
+        # links a gater controls all leave one node, so fully-connected
+        # is the faithful graph; callers may pass a sparser mask (e.g.
+        # shared-endpoint adjacency from env.agents.controlled_links_adjacency)
+        self.adj = None
+        if net_type == "gat":
+            self.adj = (jnp.asarray(adj, jnp.float32) if adj is not None
+                        else jnp.ones((self.num_links, self.num_links),
+                                      jnp.float32))
 
     # -- shapes ----------------------------------------------------------------
 
@@ -327,6 +336,20 @@ class PPOAgent:
     def load(self, path: str):
         with open(path, "rb") as f:
             data = pickle.load(f)
+        cfg = data.get("config", {})
+        # rebuild the module tree when the checkpoint's architecture
+        # differs from this agent's (e.g. build_agents defaulted to
+        # attention but the zoo dir holds an lstm_ppo family variant)
+        arch = {k: cfg[k] for k in ("net_type", "hidden_dim",
+                                    "features_per_link") if k in cfg}
+        if any(getattr(self, k) != v for k, v in arch.items()):
+            for k, v in arch.items():
+                setattr(self, k, v)
+            self._build_networks()
+            self._jit_forward = jax.jit(self._forward)
+            self._jit_epoch = jax.jit(self._epoch_update)
+            self._jit_seq = jax.jit(self._sequence_forward)
+            self.reset_hidden()
         self.actor_params = jax.device_put(data["actor"])
         self.critic_params = jax.device_put(data["critic"])
         # the action parameterization travels WITH the params: a policy

@@ -320,6 +320,29 @@ def test_agent_checkpoint_roundtrip(tmp_path):
                                rtol=1e-6)
 
 
+def test_agent_checkpoint_load_rebuilds_architecture(tmp_path):
+    """Loading a checkpoint whose recorded net_type differs from the
+    receiving agent's rebuilds the module tree (the lstm_ppo zoo
+    variant is validated/evaluated through build_agents, which defaults
+    to attention; params applied to the wrong tree raised
+    ScopeParamNotFoundError)."""
+    from pednstream_tpu.rl import PPOAgent
+
+    obs = np.random.RandomState(0).rand(20).astype(np.float32)
+    a = PPOAgent(obs_dim=20, act_dim=5, features_per_link=4,
+                 net_type="lstm", seed=1)
+    act_before = a.take_action(obs, explore=False)
+    a.save(str(tmp_path / "lstm.pkl"))
+
+    b = PPOAgent(obs_dim=20, act_dim=5, features_per_link=4,
+                 net_type="attention", seed=99)
+    b.load(str(tmp_path / "lstm.pkl"))
+    assert b.net_type == "lstm"
+    b.reset_hidden()
+    np.testing.assert_allclose(b.take_action(obs, explore=False), act_before,
+                               rtol=1e-6)
+
+
 def test_udlstm_and_gat_policy_families():
     """The two remaining reference families: UD-LSTM
     (PPO_backup.py:419-596) and GAT-LSTM with a real controlled-links
