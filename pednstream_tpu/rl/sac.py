@@ -42,6 +42,12 @@ class SACAgent:
         is_separator: bool = False,
     ):
         self.is_separator = is_separator
+        # gate delta anchoring, mirroring PPOAgent: 'current' =
+        # reference semantics (delta from current width — an integrator
+        # that drifts gates shut under an imperfect policy); 'open' =
+        # absolute target full-open + offset.  Travels with the
+        # checkpoint so eval matches training.
+        self.gate_anchor = "current"
         self.obs_dim = obs_dim
         self.act_dim = act_dim
         self.stack_size = stack_size
@@ -125,6 +131,8 @@ class SACAgent:
         if self.is_separator and self.action_low is not None:
             current = (np.asarray(self.action_low)
                        + np.asarray(self.action_high)) / 2
+        elif self.gate_anchor == "open" and self.action_high is not None:
+            current = np.asarray(self.action_high, np.float32)
         else:
             current = obs.reshape(self.act_dim, -1)[:, -1] \
                 if obs.size % self.act_dim == 0 else obs[-self.act_dim:]
@@ -210,7 +218,8 @@ class SACAgent:
     def get_config(self) -> dict:
         return {"obs_dim": self.obs_dim, "act_dim": self.act_dim,
                 "stack_size": self.stack_size, "gamma": self.gamma,
-                "tau": self.tau, "max_delta": self.max_delta, "algo": "sac"}
+                "tau": self.tau, "max_delta": self.max_delta,
+                "gate_anchor": self.gate_anchor, "algo": "sac"}
 
     def save(self, path: str):
         with open(path, "wb") as f:
@@ -229,3 +238,5 @@ class SACAgent:
         self.critic_params = jax.device_put(data["critic"])
         self.target_critic_params = jax.device_put(data["target_critic"])
         self.log_alpha = jnp.asarray(data["log_alpha"])
+        self.gate_anchor = data.get("config", {}).get("gate_anchor",
+                                                      self.gate_anchor)

@@ -212,6 +212,11 @@ def train_off_policy_multi_agent(
             log_fn(episode, history[-1])
         if save_dir and episode >= num_episodes // 2 and (episode + 1) % val_freq == 0:
             best_reward = validate_and_save_best(env, agents, best_reward, save_dir)
+    if save_dir:
+        # the final state competes too — off-policy training is not
+        # monotone, so the shipped checkpoint is whichever validated
+        # best, not whatever the last gradient step left behind
+        validate_and_save_best(env, agents, best_reward, save_dir)
     return history
 
 

@@ -46,14 +46,42 @@ def render_dataset(name: str, results: dict) -> str:
     return "\n".join(lines)
 
 
+def summarize_wins(all_results: dict) -> list:
+    """One line per dataset: which policies beat BOTH no-control and
+    rule-based on mean total reward (the round-3 'RL provably wins'
+    criterion), generated from the data instead of hand-written."""
+    lines = []
+    for name, results in all_results.items():
+        base = [np.mean([r["total_reward"] for r in results[a]])
+                for a in ("no_control", "rule_based") if a in results]
+        if not base:
+            continue
+        bar = max(base)
+        rows = []
+        for algo, runs in results.items():
+            if algo in ("no_control", "rule_based"):
+                continue
+            mean = np.mean([r["total_reward"] for r in runs])
+            nc = np.mean([r["total_reward"] for r in results["no_control"]]) \
+                if "no_control" in results else bar
+            rel = (mean - nc) / abs(nc) * 100
+            tag = "beats both baselines" if mean > bar else (
+                "ties baselines" if mean > 1.05 * bar else "trails")
+            rows.append(f"{algo} {tag} ({rel:+.1f}% total reward vs no-control)")
+        lines.append(f"- **{name}**: " + "; ".join(rows))
+    return lines
+
+
 def main():
     sections = []
     curves = []
+    all_results = {}
     for path in sorted(glob.glob(os.path.join(REPO, "outputs", "eval_*",
                                               "results.json"))):
         name = os.path.basename(os.path.dirname(path))[len("eval_"):]
         with open(path) as f:
             results = json.load(f)
+        all_results[name] = results
         if name == "45_intersections":
             # byte-identical to two_coordinators (verified against the
             # reference with diff -r) — one table, different seed noted
@@ -100,16 +128,19 @@ reference baselines.  Evaluation = paired runs per
 nominal, later runs randomized), metrics from `rl.metrics` over the
 saved runs.
 
-## Summary
+## Summary (generated from the tables below)
 
-- **butterfly_scC**: PPO beats every baseline — best total reward and
-  12.6% less total delay than no-control; MPC and SAC trail.
-- **two_coordinators / 45_intersections**: SAC beats every baseline
-  (34% less total delay than no-control on 45_intersections); PPO ties
-  the baselines on randomized runs and trails on the nominal run.
-- **butterfly_scA / scB**: open gates are optimal; RL ties the
-  baselines on the randomized runs (the reference's evaluation regime)
-  and trails them on the heavy nominal run it never trains in.
+Mean total reward across the paired runs; "beats both baselines" =
+strictly better than BOTH no-control and rule-based:
+
+{wins}
+
+On **long_corridor** (the one bundled Separator scenario), a fixed-split
+sweep on the nominal world scores 1.5/1.75/2.0/2.25/2.5 m forward-width
+at -648k/-163k/-135k/-438k/-1567k: the mid split is the best STATIC
+policy, so the headroom for control is only the time-varying remainder —
+the trained separator captures it (beating mid-split no-control) and
+the reactive EMA rule-based allocator is 3x worse than either.
 
 Two structural findings behind these numbers (docs/PARITY.md):
 a gate width throttles BOTH directions of its corridor at the gater
@@ -131,7 +162,9 @@ the spillback catastrophe lies beyond GAE's effective horizon
 """
     out = os.path.join(REPO, "docs", "RESULTS.md")
     with open(out, "w") as f:
-        f.write(doc.format(curves="\n".join(curves) or "(no curves found)",
+        f.write(doc.format(wins="\n".join(summarize_wins(all_results))
+                           or "(no results found)",
+                           curves="\n".join(curves) or "(no curves found)",
                            sections="\n".join(sections) or "(no results found)"))
     print(f"wrote {out}")
 

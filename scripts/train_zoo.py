@@ -231,23 +231,37 @@ def _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
 
 def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0):
     from pednstream_tpu.env import PedNetParallelEnv
-    from pednstream_tpu.rl.rl_utils import RunningNormalizeWrapper, save_all_agents
+    from pednstream_tpu.rl.rl_utils import RunningNormalizeWrapper
     from pednstream_tpu.rl.train import build_agents, train_off_policy_multi_agent
 
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
                             action_gap=action_gap, history_window=64)
     wrapped = RunningNormalizeWrapper(env)
     agents = build_agents(env, algo="sac", seed=seed)
+    # open-anchored gate actions, as for PPO: zero output IS no-control,
+    # so exploration is centered on the sane baseline instead of the
+    # current-width integrator's closure drift; the offset range must
+    # cover full closure
+    gw = env.spec_agents.gate_link_widths
+    md = float(max((w.max() for w in gw), default=2.5))
+    for aid, a in agents.items():
+        if aid.startswith("gate"):
+            a.gate_anchor = "open"
+            a.max_delta = md
     t0 = time.time()
+    out = os.path.join(ART, f"sac_agents_{dataset}")
+    # save_dir makes the loop ship the best VALIDATED state (nominal
+    # greedy episodes, validate_and_save_best) rather than whatever the
+    # last gradient step left behind — off-policy training on these
+    # scenarios is visibly non-monotone (round-2 zoo shipped a
+    # post-collapse scC checkpoint 1.8x worse than no-control)
     history = train_off_policy_multi_agent(
         wrapped, agents, num_episodes=episodes, randomize=True,
-        warmup_steps=100,
+        warmup_steps=100, save_dir=out, val_freq=5,
         log_fn=lambda ep, h: print(
             f"[{dataset}] sac ep {ep}: reward {h['reward']:.0f}", flush=True)
         if ep % 5 == 0 else None,
     )
-    out = os.path.join(ART, f"sac_agents_{dataset}")
-    save_all_agents(agents, out, env=wrapped)
     with open(os.path.join(out, "curve.json"), "w") as f:
         json.dump(history, f)
     print(f"[{dataset}] sac done in {time.time()-t0:.0f}s -> {out}", flush=True)

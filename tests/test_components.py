@@ -342,6 +342,21 @@ def test_agent_checkpoint_load_rebuilds_architecture(tmp_path):
     np.testing.assert_allclose(b.take_action(obs, explore=False), act_before,
                                rtol=1e-6)
 
+    # SAC: the gate-anchor mode travels with the checkpoint the same way
+    from pednstream_tpu.rl import SACAgent
+
+    s = SACAgent(obs_dim=20, act_dim=5, action_low=np.zeros(5),
+                 action_high=np.full(5, 3.0), seed=1)
+    s.gate_anchor = "open"
+    s.save(str(tmp_path / "sac.pkl"))
+    s2 = SACAgent(obs_dim=20, act_dim=5, action_low=np.zeros(5),
+                  action_high=np.full(5, 3.0), seed=2)
+    s2.load(str(tmp_path / "sac.pkl"))
+    assert s2.gate_anchor == "open"
+    # open anchor: zero delta -> full-open widths, not obs-derived ones
+    np.testing.assert_allclose(
+        s2.absolute_action(obs, np.zeros(5, np.float32)), np.full(5, 3.0))
+
 
 def test_udlstm_and_gat_policy_families():
     """The two remaining reference families: UD-LSTM
