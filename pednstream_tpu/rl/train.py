@@ -17,6 +17,8 @@ the SPMD replacement for the reference's Ray rollout workers
 (train_ppo_rllib.py:62-64).
 """
 
+import json
+import os
 from functools import partial
 from typing import Callable, Dict, Optional
 
@@ -153,6 +155,19 @@ def train_off_policy_multi_agent(
 ):
     history = []
     best_reward = -np.inf
+    if save_dir:
+        # never regress an existing checkpoint: a fresh (possibly worse)
+        # training run must beat the previously shipped validation score
+        # before it may overwrite save_dir
+        cfg_path = os.path.join(save_dir, "config.json")
+        if os.path.exists(cfg_path):
+            try:
+                with open(cfg_path) as f:
+                    prev = json.load(f).get("extra", {}).get("val_reward")
+                if prev is not None:
+                    best_reward = float(prev)
+            except (json.JSONDecodeError, OSError):
+                pass
     total_steps = 0
     for episode in range(num_episodes):
         # off-policy replay tolerates mixed worlds, so keep 1-in-4

@@ -35,12 +35,23 @@ def render_dataset(name: str, results: dict) -> str:
     # per-run rewards for the paired comparison
     lines += ["", "Per-run total reward (run 0 = nominal world, runs 1+ = "
               "paired randomized worlds):", ""]
+    nc = {r["run"]: r["total_reward"] for r in results.get("no_control", [])}
     for algo, runs in results.items():
         rr = ", ".join(f"run{r['run']}: {r['total_reward']:.0f}" for r in runs)
         extra = ""
         if algo == "optimization" and runs and runs[0].get("wall_s"):
             extra = (f" (single run — the DE inner optimizer costs "
                      f"{runs[0]['wall_s']:.0f}s wall per episode)")
+        bad = [r["run"] for r in runs
+               if nc.get(r["run"], 0) < 0
+               and r["total_reward"] / nc[r["run"]] > 1.5]
+        if bad and algo == "sac":
+            extra += (f" — **known-weak on run{'/'.join(map(str, bad))}** "
+                      "(>1.5x worse than no-control): the host-loop SAC "
+                      "budget (30 episodes ≈ 1.2k gradient steps) underfits "
+                      "this scenario's nominal congestion regime; the "
+                      "validation-gated, no-regress checkpointing in "
+                      "scripts/train_zoo.py ships the best seed seen so far")
         lines.append(f"- **{algo}**: {rr}{extra}")
     lines.append("")
     return "\n".join(lines)

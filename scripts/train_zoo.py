@@ -229,7 +229,8 @@ def _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
         json.dump(curve, f)
 
 
-def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0):
+def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0,
+              updates_per_step: int = 1):
     from pednstream_tpu.env import PedNetParallelEnv
     from pednstream_tpu.rl.rl_utils import RunningNormalizeWrapper
     from pednstream_tpu.rl.train import build_agents, train_off_policy_multi_agent
@@ -255,15 +256,32 @@ def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0):
     # last gradient step left behind — off-policy training on these
     # scenarios is visibly non-monotone (round-2 zoo shipped a
     # post-collapse scC checkpoint 1.8x worse than no-control)
+    # updates_per_step stays at 1: raising the replay ratio to 4 was
+    # tried (100-episode runs) and reliably destabilized SAC on these
+    # scenarios — every validation snapshot scored 2-7x worse than
+    # no-control (critic overestimation spiral on a tiny buffer)
+    def _val_score():
+        try:
+            with open(os.path.join(out, "config.json")) as f:
+                return json.load(f).get("extra", {}).get("val_reward")
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    before = _val_score()
     history = train_off_policy_multi_agent(
         wrapped, agents, num_episodes=episodes, randomize=True,
         warmup_steps=100, save_dir=out, val_freq=5,
+        updates_per_step=updates_per_step,
         log_fn=lambda ep, h: print(
             f"[{dataset}] sac ep {ep}: reward {h['reward']:.0f}", flush=True)
         if ep % 5 == 0 else None,
     )
-    with open(os.path.join(out, "curve.json"), "w") as f:
-        json.dump(history, f)
+    # curve.json must describe the SHIPPED checkpoint's training run:
+    # with the no-regress gate a repeat run that never beat the stored
+    # validation score leaves the checkpoint (and so the curve) alone
+    if _val_score() != before or before is None:
+        with open(os.path.join(out, "curve.json"), "w") as f:
+            json.dump(history, f)
     print(f"[{dataset}] sac done in {time.time()-t0:.0f}s -> {out}", flush=True)
     return out
 
