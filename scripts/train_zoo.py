@@ -229,6 +229,124 @@ def _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
         json.dump(curve, f)
 
 
+def _validate_sac_dir(dataset: str, action_gap: int, ckpt_dir: str,
+                      episodes: int = 1, seed: int = 123,
+                      nominal_only: bool = False):
+    """Greedy validation of an exported SAC checkpoint through the host
+    eval harness (wrapper + norm stats), scoring nominal and randomized
+    episodes like the PPO seed selection."""
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.rl_utils import (
+        RunningNormalizeWrapper, load_all_agents, validate_agents)
+    from pednstream_tpu.rl.train import build_agents
+
+    env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
+                            action_gap=action_gap, history_window=64)
+    wrapped = RunningNormalizeWrapper(env)
+    agents = build_agents(wrapped, algo="sac", seed=seed)
+    load_all_agents(agents, ckpt_dir, env=wrapped)
+    nominal = validate_agents(wrapped, agents, num_episodes=episodes,
+                              randomize=False)
+    if nominal_only:
+        return nominal, {"nominal": nominal}
+    randomized = validate_agents(wrapped, agents, num_episodes=episodes,
+                                 randomize=True)
+    return nominal + randomized, {"nominal": nominal, "randomized": randomized}
+
+
+def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
+                      seed: int = 0, num_envs: int = 64, val_every: int = 25):
+    """SAC through the TPU-native batched trainer (rl/batched_sac.py):
+    64 lockstep domain-randomized replicas + scanned updates give a
+    ~20x gradient-step budget over the host loop in a fraction of the
+    wall-clock — the round-3 fix for the underfit SAC zoo rows.
+
+    Ships the best VALIDATED snapshot (host-harness greedy episodes on a
+    nominal + a randomized world), and only overwrites an existing
+    checkpoint if the candidate beats its stored nominal-protocol
+    val_reward (no-regress gate, as train_sac)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from pednstream_tpu.env import PedNetParallelEnv
+    from pednstream_tpu.rl.batched_sac import BatchedSACTrainer
+
+    env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
+                            action_gap=action_gap, history_window=64)
+    gw = env.spec_agents.gate_link_widths
+    md = float(max((w.max() for w in gw), default=2.5))
+    tr = BatchedSACTrainer(env.core, num_envs=num_envs, collect_steps=8,
+                           updates_per_iter=64, batch_size=256,
+                           buffer_capacity=65536, warmup_transitions=2048,
+                           max_delta=md, gate_anchor="open",
+                           # off-policy replay tolerates mixed worlds:
+                           # keep 1-in-4 replicas on the nominal world so
+                           # the policy sees the congestion regime the
+                           # paired evaluation leads with (the host loop
+                           # does the same per-episode)
+                           randomize=True, randomize_fraction=0.75)
+    ts = tr.init(jax.random.PRNGKey(seed))
+    out = os.path.join(ART, f"sac_agents_{dataset}")
+    tmp = tempfile.mkdtemp(prefix=f"bsac_{dataset}_")
+    best_score, best_dir, curve = -float("inf"), None, []
+    t0 = time.time()
+    try:
+        for i in range(iterations):
+            t_it = time.time()
+            ts, m = tr.train_iteration(ts)
+            curve.append({"iteration": i, "reward": m["reward"],
+                          "wall_s": round(time.time() - t_it, 3),
+                          **{k: v for k, v in m.items()}})
+            if (i + 1) % val_every == 0 or i == iterations - 1:
+                cand = os.path.join(tmp, f"it{i}")
+                tr.export(ts, cand)
+                score, parts = _validate_sac_dir(dataset, action_gap, cand)
+                print(f"[{dataset}] bsac it {i}: train {m['reward']:.0f} "
+                      f"val {parts}", flush=True)
+                if score > best_score:
+                    best_score, best_dir = score, cand
+        if best_dir is None:
+            print(f"[{dataset}] bsac: no validated snapshot", flush=True)
+            return out
+        # no-regress gate against the SHIPPED checkpoint, scored on the
+        # stored protocol (3 nominal episodes, validate_and_save_best)
+        cand_nom, _ = _validate_sac_dir(dataset, action_gap, best_dir,
+                                        episodes=3, nominal_only=True)
+        prev = None
+        cfg_path = os.path.join(out, "config.json")
+        if os.path.exists(cfg_path):
+            try:
+                with open(cfg_path) as f:
+                    prev = json.load(f).get("extra", {}).get("val_reward")
+            except (json.JSONDecodeError, OSError):
+                prev = None
+        if prev is not None and cand_nom <= float(prev):
+            print(f"[{dataset}] bsac candidate {cand_nom:.0f} does not beat "
+                  f"shipped {float(prev):.0f}; keeping existing checkpoint",
+                  flush=True)
+            return out
+        os.makedirs(out, exist_ok=True)
+        for f in os.listdir(best_dir):
+            shutil.copy(os.path.join(best_dir, f), os.path.join(out, f))
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        cfg.setdefault("extra", {}).update(
+            val_reward=cand_nom, trainer="batched_sac",
+            iterations=iterations, num_envs=num_envs,
+            gradient_steps=iterations * 64)
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f, indent=2, default=str)
+        with open(os.path.join(out, "curve.json"), "w") as f:
+            json.dump(curve, f)
+        print(f"[{dataset}] bsac done in {time.time()-t0:.0f}s "
+              f"-> {out} (val {cand_nom:.0f})", flush=True)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0,
               updates_per_step: int = 1):
     from pednstream_tpu.env import PedNetParallelEnv
@@ -323,7 +441,8 @@ def evaluate_zoo(dataset: str, action_gap: int, ppo_dir: str,
 
 def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
         with_mpc: bool = False, ppo_iters: int = None, sac_eps: int = None,
-        eval_only: bool = False, use_mesh: bool = False):
+        eval_only: bool = False, use_mesh: bool = False,
+        sac_batched: bool = False, sac_iters: int = 300):
     action_gap, d_ppo, d_sac = DATASETS[dataset]
     ppo_dir = os.path.join(ART, f"ppo_agents_{dataset}")
     if not eval_only:
@@ -331,7 +450,10 @@ def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
                             use_mesh=use_mesh)
     sac_dir = os.path.join(ART, f"sac_agents_{dataset}")
     if not skip_sac and not eval_only:
-        sac_dir = train_sac(dataset, action_gap, sac_eps or d_sac)
+        if sac_batched:
+            sac_dir = train_sac_batched(dataset, action_gap, sac_iters)
+        else:
+            sac_dir = train_sac(dataset, action_gap, sac_eps or d_sac)
     elif not os.path.isdir(sac_dir):
         sac_dir = None  # no previously trained SAC checkpoint to reuse
     if not skip_eval:
@@ -347,6 +469,12 @@ def main():
     p.add_argument("--with-mpc", action="store_true")
     p.add_argument("--ppo-iters", type=int, default=None)
     p.add_argument("--sac-episodes", type=int, default=None)
+    p.add_argument("--sac-batched", action="store_true",
+                   help="train SAC with the TPU-native batched trainer "
+                        "(rl/batched_sac.py) instead of the host loop")
+    p.add_argument("--sac-iters", type=int, default=300,
+                   help="batched-SAC training iterations (64 gradient "
+                        "steps each)")
     p.add_argument("--eval-only", action="store_true",
                    help="re-evaluate existing artifacts/zoo checkpoints "
                         "without retraining")
@@ -360,7 +488,8 @@ def main():
         run(name, skip_sac=args.skip_sac, skip_eval=args.skip_eval,
             with_mpc=args.with_mpc,
             ppo_iters=args.ppo_iters, sac_eps=args.sac_episodes,
-            eval_only=args.eval_only, use_mesh=args.mesh)
+            eval_only=args.eval_only, use_mesh=args.mesh,
+            sac_batched=args.sac_batched, sac_iters=args.sac_iters)
 
 
 if __name__ == "__main__":
