@@ -91,6 +91,7 @@ class BatchedSACTrainer:
         randomize: bool = False,
         randomize_fraction: float = 1.0,
         gate_anchor: str = "open",
+        mesh=None,
     ):
         if gate_anchor not in ("current", "open"):
             raise ValueError("gate_anchor must be 'current' or 'open'")
@@ -113,6 +114,7 @@ class BatchedSACTrainer:
         self.randomize = randomize
         self.randomize_fraction = randomize_fraction
         self.gate_anchor = gate_anchor
+        self.mesh = mesh
 
         fpl = FEATURES_PER_LINK[core.obs_mode]
         # independent learners keyed by ENV agent id (host parity:
@@ -147,6 +149,44 @@ class BatchedSACTrainer:
         self.critic_tx = optax.adam(critic_lr)
         self.alpha_tx = optax.adam(alpha_lr)
         self._train_iter = jax.jit(self._train_iteration_impl)
+
+    # -- mesh sharding (trainer-owned, as BatchedPPOTrainer) ---------------------
+
+    def _shard_spec(self, batched: bool):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P("env") if batched else P())
+
+    def _place(self, tree, batched: bool = True):
+        """Host-side placement: replica-axis leaves shard over the mesh's
+        ``env`` axis; params/opt/rms/replay buffers replicate (the buffer
+        leading axis is the ring capacity, not the batch)."""
+        if self.mesh is None or tree is None:
+            return tree
+        sh_b = self._shard_spec(True)
+        sh_r = self._shard_spec(False)
+
+        def put(x):
+            x = jnp.asarray(x)
+            if batched and x.ndim >= 1 and x.shape[0] == self.B:
+                return jax.device_put(x, sh_b)
+            return jax.device_put(x, sh_r)
+
+        return jax.tree_util.tree_map(put, tree)
+
+    def _constrain(self, tree, batched: bool = True):
+        if self.mesh is None or tree is None:
+            return tree
+        sh_b = self._shard_spec(True)
+        sh_r = self._shard_spec(False)
+
+        def con(x):
+            x = jnp.asarray(x)
+            if batched and x.ndim >= 1 and x.shape[0] == self.B:
+                return jax.lax.with_sharding_constraint(x, sh_b)
+            return jax.lax.with_sharding_constraint(x, sh_r)
+
+        return jax.tree_util.tree_map(con, tree)
 
     # -- setup -------------------------------------------------------------------
 
@@ -191,6 +231,16 @@ class BatchedSACTrainer:
                 "ns": jnp.zeros((self.cap, self.S, meta["obs_dim"])),
                 "d": jnp.zeros((self.cap,)),
             }
+        if self.mesh is not None:
+            env_states = self._place(env_states)
+            obs_raw = self._place(obs_raw)
+            stacks = self._place(stacks)
+            rets = self._place(rets)
+            eps = self._place(eps)
+            params = self._place(params, batched=False)
+            opts = self._place(opts, batched=False)
+            rms = self._place(rms, batched=False)
+            bufs = self._place(bufs, batched=False)
         return SACTrainerState(
             env_states=env_states, obs=obs_raw, stacks=stacks, params=params,
             opt_states=opts, rms=rms, returns=rets, buffers=bufs,
@@ -410,6 +460,20 @@ class BatchedSACTrainer:
                 a_loss, c_loss)
 
     def _train_iteration_impl(self, ts: SACTrainerState):
+        if self.mesh is not None:
+            # the trainer owns the layout: re-assert inside jit so callers
+            # passing unsharded state still train sharded (PPO parity)
+            ts = ts.replace(
+                env_states=self._constrain(ts.env_states),
+                obs=self._constrain(ts.obs),
+                stacks=self._constrain(ts.stacks),
+                returns=self._constrain(ts.returns),
+                engine_params=self._constrain(ts.engine_params),
+                params=self._constrain(ts.params, batched=False),
+                opt_states=self._constrain(ts.opt_states, batched=False),
+                rms=self._constrain(ts.rms, batched=False),
+                buffers=self._constrain(ts.buffers, batched=False),
+            )
         key, k_col, k_upd = jax.random.split(ts.key, 3)
         (env_states, obs, stacks, rms, rets, bufs, ptr, size, eps), mean_r = \
             self._collect(ts, k_col)

@@ -358,6 +358,7 @@ def test_agent_checkpoint_load_rebuilds_architecture(tmp_path):
         s2.absolute_action(obs, np.zeros(5, np.float32)), np.full(5, 3.0))
 
 
+@pytest.mark.slow
 def test_udlstm_and_gat_policy_families():
     """The two remaining reference families: UD-LSTM
     (PPO_backup.py:419-596) and GAT-LSTM with a real controlled-links

@@ -98,6 +98,7 @@ def test_batched_env_vmap():
     assert not np.allclose(dens[0], dens[1])
 
 
+@pytest.mark.slow
 def test_lockstep_shared_t_matches_per_replica_t():
     """batch_step's lockstep fast path (shared t closed over the vmap,
     engine.step_fn t_shared) must be numerically IDENTICAL to the

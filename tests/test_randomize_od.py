@@ -76,6 +76,7 @@ def test_closed_destination_absorbs_nothing(scn):
     assert arr_closed[dest] == 0
 
 
+@pytest.mark.slow
 def test_batched_od_randomized_rollout(scn):
     B = 8
     eps = randomize_engine_params_batched(scn, jax.random.PRNGKey(3), B)
@@ -90,6 +91,7 @@ def test_batched_od_randomized_rollout(scn):
     assert err.max() < 1e-2  # f32 mass conservation (fractional demand)
 
 
+@pytest.mark.slow
 def test_od_set_size_distribution_vs_reference_moves(scn):
     """Quantify the training-domain drift between the in-vmap independent
     per-node activations (nominal keep p=0.75, candidate open p=0.3) and
