@@ -32,6 +32,12 @@ def render_dataset(name: str, results: dict) -> str:
             vals = [r.get(key) for r in runs if r.get(key) is not None]
             row.append(f"{np.mean(vals):.{nd}f}" if vals else "—")
         lines.append("| " + " | ".join(row) + " |")
+    if "long_corridor" in name and "optimization" not in results:
+        lines += ["", "(no `optimization` row: the MPC baseline ports the "
+                  "reference's DecentralizedOptimizationAgent, which controls "
+                  "gater intersections only — optimization_based.py has no "
+                  "separator model; long_corridor's sole agent is a "
+                  "Separator)"]
     # per-run rewards for the paired comparison
     lines += ["", "Per-run total reward (run 0 = nominal world, runs 1+ = "
               "paired randomized worlds):", ""]
@@ -127,6 +133,24 @@ def main():
                 f"{cfg['engine_steps']/1e6:.1f}M engine steps; {timing}; "
                 f"reward {r0:.0f} (start) -> {rl:.0f} (last-10 mean)"
             )
+        # batched-SAC training rows (host-loop SAC checkpoints have no
+        # per-iteration wall_s; only batched_sac curves carry one)
+        scj = os.path.join(REPO, "artifacts", "zoo", f"sac_agents_{base}",
+                           "curve.json")
+        scfg_p = os.path.join(os.path.dirname(scj), "config.json")
+        if os.path.exists(scj) and os.path.exists(scfg_p):
+            scfg = json.load(open(scfg_p)).get("extra", {})
+            if scfg.get("trainer") == "batched_sac":
+                with open(scj) as f:
+                    curve = json.load(f)
+                steady = float(np.median([c["wall_s"] for c in curve[1:]]))
+                curves.append(
+                    f"- **{base} (batched SAC)**: {len(curve)} iterations "
+                    f"x 64 gradient steps ({scfg.get('gradient_steps', 0)/1e3:.0f}k "
+                    f"total, ~20x the host-loop budget); compile "
+                    f"{curve[0]['wall_s']:.0f}s + {steady*1e3:.0f} ms/iteration "
+                    f"steady-state"
+                )
 
     doc = """# Results: trained-agent zoo vs baselines
 
