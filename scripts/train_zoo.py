@@ -310,21 +310,33 @@ def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
         if best_dir is None:
             print(f"[{dataset}] bsac: no validated snapshot", flush=True)
             return out
-        # no-regress gate against the SHIPPED checkpoint, scored on the
-        # stored protocol (3 nominal episodes, validate_and_save_best)
+        # no-regress gate against the SHIPPED checkpoint — re-scored NOW
+        # under the identical protocol (same validation env seed, same
+        # episode sequence), NOT against its stored val_reward: stored
+        # numbers come from whatever nominal demand draw the original
+        # training run's env produced (long_corridor ships unseeded, so
+        # a light draw once scored -109k where the same checkpoint
+        # scores -285k on the eval run0 world)
         cand_nom, _ = _validate_sac_dir(dataset, action_gap, best_dir,
                                         episodes=3, nominal_only=True)
-        prev = None
         cfg_path = os.path.join(out, "config.json")
+        prev = None
         if os.path.exists(cfg_path):
             try:
-                with open(cfg_path) as f:
-                    prev = json.load(f).get("extra", {}).get("val_reward")
-            except (json.JSONDecodeError, OSError):
-                prev = None
+                prev, _ = _validate_sac_dir(dataset, action_gap, out,
+                                            episodes=3, nominal_only=True)
+            except Exception as e:  # unreadable checkpoint: replace it
+                print(f"[{dataset}] bsac: shipped checkpoint unscorable "
+                      f"({e}); replacing", flush=True)
         if prev is not None and cand_nom <= float(prev):
+            # keep the refused candidate next to the shipped dir so a
+            # protocol change can re-judge it without a retrain
+            keep = out + ".candidate"
+            shutil.rmtree(keep, ignore_errors=True)
+            shutil.copytree(best_dir, keep)
             print(f"[{dataset}] bsac candidate {cand_nom:.0f} does not beat "
-                  f"shipped {float(prev):.0f}; keeping existing checkpoint",
+                  f"shipped {float(prev):.0f} (same-protocol rescore); "
+                  f"keeping existing checkpoint, candidate at {keep}",
                   flush=True)
             return out
         os.makedirs(out, exist_ok=True)
