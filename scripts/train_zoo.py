@@ -255,7 +255,8 @@ def _validate_sac_dir(dataset: str, action_gap: int, ckpt_dir: str,
 
 
 def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
-                      seed: int = 0, num_envs: int = 64, val_every: int = 25):
+                      seed: int = 0, num_envs: int = 64, val_every: int = 25,
+                      randomize_fraction: float = 0.75):
     """SAC through the TPU-native batched trainer (rl/batched_sac.py):
     64 lockstep domain-randomized replicas + scanned updates give a
     ~20x gradient-step budget over the host loop in a fraction of the
@@ -285,8 +286,10 @@ def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
                            # keep 1-in-4 replicas on the nominal world so
                            # the policy sees the congestion regime the
                            # paired evaluation leads with (the host loop
-                           # does the same per-episode)
-                           randomize=True, randomize_fraction=0.75)
+                           # does the same per-episode); jam-heavy scenarios
+                           # may need a nominal-heavy mix (fraction < 0.5)
+                           randomize=True,
+                           randomize_fraction=randomize_fraction)
     ts = tr.init(jax.random.PRNGKey(seed))
     out = os.path.join(ART, f"sac_agents_{dataset}")
     tmp = tempfile.mkdtemp(prefix=f"bsac_{dataset}_")
