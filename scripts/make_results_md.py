@@ -157,8 +157,11 @@ def main():
 Produced by `scripts/train_zoo.py` (training) + `scripts/make_results_md.py`
 (this table).  PPO = batched attention-LSTM trainer (256 per-replica
 domain-randomized worlds, the reference's randomization distribution);
-SAC = host-loop twin-Q; rule_based / no_control / optimization(MPC) =
-reference baselines.  Evaluation = paired runs per
+SAC = twin-Q, trained per dataset by whichever of the TPU-native batched
+trainer (`rl/batched_sac.py`, "(batched SAC)" rows below) or the
+reference-style host loop validated best — retrains only replace a
+checkpoint through a same-protocol no-regress gate; rule_based /
+no_control / optimization(MPC) = reference baselines.  Evaluation = paired runs per
 `rl.evaluate.evaluate_agents` (same seed per run across policies; run 0
 nominal, later runs randomized), metrics from `rl.metrics` over the
 saved runs.
