@@ -127,3 +127,18 @@ def test_separator_scenario_trains_and_exports(tmp_path):
     tr.export(ts, out)
     names = sorted(os.listdir(out))
     assert any(n.startswith("sep_") and n.endswith(".pkl") for n in names)
+
+
+def test_randomize_fraction_keeps_nominal_replicas(env):
+    from pednstream_tpu.rl.batched_sac import BatchedSACTrainer
+
+    tr = BatchedSACTrainer(env.core, num_envs=8, randomize=True,
+                           randomize_fraction=0.5)
+    ts = tr.init(jax.random.PRNGKey(2))
+    nominal = env.core.scn.engine_params
+    # replicas [n_rand:] carry the scenario's NOMINAL world
+    for leaf, nom in zip(jax.tree_util.tree_leaves(ts.engine_params),
+                         jax.tree_util.tree_leaves(nominal)):
+        a = np.asarray(leaf)[4:]
+        np.testing.assert_array_equal(
+            a, np.broadcast_to(np.asarray(nom), a.shape))
