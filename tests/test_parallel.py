@@ -64,6 +64,7 @@ def test_make_mesh_and_shard_batch(core):
     assert len(states.t.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_env_step_matches_unsharded(core):
     mesh = make_mesh(8)
     B = 16
@@ -88,6 +89,7 @@ def test_sharded_env_step_matches_unsharded(core):
     )
 
 
+@pytest.mark.slow
 def test_dp_train_step_replicates_params(core):
     from pednstream_tpu.rl.train import init_train_state, make_dp_train_step
 
