@@ -158,7 +158,11 @@ def train_off_policy_multi_agent(
     if save_dir:
         # never regress an existing checkpoint: a fresh (possibly worse)
         # training run must beat the previously shipped validation score
-        # before it may overwrite save_dir
+        # before it may overwrite save_dir.  Caveat: the stored score was
+        # measured on THAT run's validation worlds; on scenarios with
+        # unseeded demand (long_corridor) scores are not comparable
+        # across runs — scripts/train_zoo.train_sac_batched re-scores the
+        # shipped checkpoint under the candidate's exact protocol instead
         cfg_path = os.path.join(save_dir, "config.json")
         if os.path.exists(cfg_path):
             try:
