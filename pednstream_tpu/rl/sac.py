@@ -238,5 +238,11 @@ class SACAgent:
         self.critic_params = jax.device_put(data["critic"])
         self.target_critic_params = jax.device_put(data["target_critic"])
         self.log_alpha = jnp.asarray(data["log_alpha"])
-        self.gate_anchor = data.get("config", {}).get("gate_anchor",
-                                                      self.gate_anchor)
+        cfg = data.get("config", {})
+        self.gate_anchor = cfg.get("gate_anchor", self.gate_anchor)
+        # action scaling and frame-stacking are part of the policy's
+        # semantics, not the caller's choice: a checkpoint trained with
+        # max_delta=4.0 must act with 4.0 at eval time (the actor outputs
+        # tanh-normalized deltas that load() must rescale identically)
+        self.max_delta = cfg.get("max_delta", self.max_delta)
+        self.stack_size = cfg.get("stack_size", self.stack_size)
