@@ -4,18 +4,29 @@ scenario, with 768 vmapped stochastic env replicas stepping in lockstep
 on one chip — the TPU-native design point (BASELINE.json north star:
 >= 1e5 LTM steps/s at melbourne scale).
 
-Prints ONE JSON line:
+Prints ONE final JSON line with the headline metric:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
+
+Capture hygiene (the chip is a remote tunnel that can be slow, wedged,
+or reclaimed mid-run):
+  * the backend is probed in a BOUNDED subprocess before any work —
+    a wedged chip yields a clear one-line failure instead of a hang;
+  * each result row is printed to stdout AS IT COMPLETES, so partial
+    evidence survives a mid-run death;
+  * SIGTERM stops launching new work and lets the in-flight device op
+    drain (the handler only sets a flag; loops check it between runs);
+  * secondary stages are fault-isolated: a failure there still emits
+    the headline line for the stages that finished.
 
 Baseline: the reference implementation (WaimenMak/PedNStream, pure
 Python/NumPy, single process — it has no batched or parallel execution
 mode) measured on this machine's CPU with the same scenario:
 21.05 steps/s (see BASELINE.md; the reference publishes no numbers).
-A secondary single-replica full-horizon number is printed to stderr for
-context.
 """
 
 import json
+import signal
+import subprocess
 import sys
 import time
 
@@ -30,101 +41,169 @@ WINDOW = 64  # windowed-history mode for the batched RL-training config
 # steps
 STEPS = 500
 
+# set by the SIGTERM handler; checked between timed runs so the
+# in-flight device op always drains before we exit (killing a process
+# mid-TPU-op can wedge the remote chip claim for hours)
+_STOP = False
 
-def main():
-    import jax
 
-    from pednstream_tpu.engine import simulate, simulate_batched, step_fn
+def _on_sigterm(signum, frame):
+    global _STOP
+    _STOP = True
+    print(json.dumps({"row": "signal", "note": "SIGTERM received; draining "
+                      "in-flight op, no new work"}), flush=True)
+
+
+def emit(row: str, **kv):
+    """One JSON evidence line per completed stage, flushed immediately."""
+    print(json.dumps({"row": row, **kv}), flush=True)
+
+
+def probe_backend(attempts: int = 2, timeout_s: int = 150) -> bool:
+    """Bounded out-of-process backend health check.
+
+    jax backend init on this host goes through a remote tunnel and can
+    hang indefinitely when the chip is wedged; probing in a subprocess
+    with a timeout keeps bench.py's total wall-clock bounded no matter
+    what state the chip is in.  The probe's tiny reduction is a true
+    data dependency (fire-ahead acks make block_until_ready unreliable
+    as a fence).
+    """
+    code = ("import jax, jax.numpy as jnp; "
+            "print('probe ok', float(jnp.ones((8, 8)).sum()), jax.devices())")
+    for i in range(attempts):
+        if _STOP:
+            return False
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            emit("backend_probe", attempt=i + 1, ok=False,
+                 note=f"no response in {timeout_s}s (chip wedged or "
+                      "tunnel down)")
+            continue
+        if r.returncode == 0 and "probe ok" in r.stdout:
+            emit("backend_probe", attempt=i + 1, ok=True,
+                 init_s=round(time.time() - t0, 1))
+            return True
+        emit("backend_probe", attempt=i + 1, ok=False,
+             rc=r.returncode, stderr_tail=r.stderr[-300:])
+    return False
+
+
+def _timed_runs(run, make_states, n=3):
+    """min-of-n timing with fresh PRNG inputs per run (the remote
+    runtime replay-caches identical executions) and a device-side
+    checksum whose host read is a true data dependency on the output."""
+    import numpy as _np
+
+    times = []
+    checksum = 0.0
+    for i in range(n):
+        if _STOP and times:
+            break  # graceful drain: keep what we have
+        states = make_states(i + 1)
+        _np.asarray(states.density)  # input transfer fence
+        t0 = time.time()
+        out = run(states)
+        checksum = float(out.num_peds.sum())
+        times.append(time.time() - t0)
+    assert checksum > 0, "engine produced an empty network"
+    return min(times)
+
+
+def bench_melbourne(jax):
+    from pednstream_tpu.engine import simulate_batched
     from pednstream_tpu.generator import NetworkEnvGenerator
     from pednstream_tpu.scenario import build_scenario
 
     gen = NetworkEnvGenerator()
     data = gen.load_network_data("melbourne")
-
-    # --- headline: batched windowed throughput ---
     scn = build_scenario(
         data["adjacency_matrix"], gen.config["params"],
         gen.config["origin_nodes"], gen.config["destination_nodes"],
         history_window=WINDOW, binomial_mode="fast",
     )
     ep = scn.engine_params
-
     run = jax.jit(
         lambda ss: simulate_batched(scn, ep, ss, STEPS, stochastic=True)
     )
+
+    def make_states(seed):
+        return jax.vmap(scn.init_state)(
+            jax.random.split(jax.random.PRNGKey(seed), BATCH))
+
     # warm-run fence must be a host read of the output: block_until_ready
     # can return on a fire-ahead ack, leaving the warm run queued so the
     # first timed run absorbs it (~2x over-report)
-    states = jax.vmap(scn.init_state)(jax.random.split(jax.random.PRNGKey(0), BATCH))
-    _ = float(run(states).num_peds.sum())
-    import numpy as _np
+    t0 = time.time()
+    _ = float(run(make_states(0)).num_peds.sum())
+    emit("melbourne_compile", s=round(time.time() - t0, 1))
+    best = _timed_runs(run, make_states)
+    agg = STEPS * BATCH / best
+    emit("melbourne", env_steps_per_s=round(agg, 0), batch=BATCH,
+         history_window=WINDOW, best_run_s=round(best, 3),
+         vs_baseline=round(agg / REFERENCE_MELBOURNE_STEPS_PER_S, 1))
+    return agg
 
-    times = []
-    for i in range(3):
-        # fresh PRNG keys per run (identical repeated executions can be
-        # replay-cached by the remote runtime), and a DEVICE-SIDE checksum
-        # reduction whose host read is a true data dependency
-        # (block_until_ready can return on a fire-ahead ack before the
-        # remote execution completes; materializing the full [B, E] array
-        # would time the SSH-tunnel transfer, not the engine)
-        states = jax.vmap(scn.init_state)(
-            jax.random.split(jax.random.PRNGKey(i + 1), BATCH)
-        )
-        _np.asarray(states.density)
-        t0 = time.time()
-        out = run(states)
-        checksum = float(out.num_peds.sum())
-        times.append(time.time() - t0)
-    assert checksum > 0, "engine produced an empty network"
-    agg = STEPS * BATCH / min(times)
 
-    # --- scale row: grid_50x50, 9,800 directed links (the BASELINE.json
+def bench_grid(jax):
+    # scale row: grid_50x50, 9,800 directed links (the BASELINE.json
     # "melbourne-scale 10k+ links" north star: >= 1e5 LTM steps/s).
     # H=32 windowed history: the N-curve lookback clamp tightens from
     # tau<=58 to tau<=26 steps — a bounded-congestion-memory
     # approximation whose error is quantified on the grid config by
     # scripts/quantify_window.py (docs/PARITY.md); the exact-mode and
-    # H=64 numbers are in docs/PERFORMANCE.md's kernel matrix. ---
+    # H=64 numbers are in docs/PERFORMANCE.md's kernel matrix.
+    from pednstream_tpu.engine import simulate_batched
+    from pednstream_tpu.generator import NetworkEnvGenerator
+    from pednstream_tpu.scenario import build_scenario
+
     WINDOW_G = 32
-    gen_g = NetworkEnvGenerator()
-    data_g = gen_g.load_network_data("grid_50x50")
-    scn_g = build_scenario(
-        data_g["adjacency_matrix"], gen_g.config["params"],
-        gen_g.config["origin_nodes"], gen_g.config["destination_nodes"],
+    B_G = 128  # B-swept: bigger batches regress on HBM pressure
+    gen = NetworkEnvGenerator()
+    data = gen.load_network_data("grid_50x50")
+    scn = build_scenario(
+        data["adjacency_matrix"], gen.config["params"],
+        gen.config["origin_nodes"], gen.config["destination_nodes"],
         history_window=WINDOW_G, binomial_mode="fast",
     )
-    ep_g = scn_g.engine_params
-
-    B_G = 128  # B-swept: bigger batches regress on HBM pressure
-    run_g = jax.jit(
-        lambda ss: simulate_batched(scn_g, ep_g, ss, STEPS, stochastic=True)
-    )
-    states_g = jax.vmap(scn_g.init_state)(
-        jax.random.split(jax.random.PRNGKey(0), B_G)
-    )
-    _ = float(run_g(states_g).num_peds.sum())  # true-dependency warm fence
-    times_g = []
-    for i in range(3):
-        states_g = jax.vmap(scn_g.init_state)(
-            jax.random.split(jax.random.PRNGKey(i + 1), B_G)
-        )
-        _np.asarray(states_g.density)
-        t0 = time.time()
-        out_g = run_g(states_g)
-        checksum_g = float(out_g.num_peds.sum())
-        times_g.append(time.time() - t0)
-    assert checksum_g > 0
-    grid10k = STEPS * B_G / min(times_g)
-    print(
-        f"scale: grid_50x50 (9,800 links) aggregate {grid10k:.0f} env-steps/s "
-        f"at B={B_G} ({grid10k * 9800 / 1e9:.2f}e9 link-updates/s)",
-        file=sys.stderr,
+    ep = scn.engine_params
+    run = jax.jit(
+        lambda ss: simulate_batched(scn, ep, ss, STEPS, stochastic=True)
     )
 
-    # --- secondary: single replica, exact full-horizon mode ---
+    def make_states(seed):
+        return jax.vmap(scn.init_state)(
+            jax.random.split(jax.random.PRNGKey(seed), B_G))
+
+    t0 = time.time()
+    _ = float(run(make_states(0)).num_peds.sum())
+    emit("grid_50x50_compile", s=round(time.time() - t0, 1))
+    best = _timed_runs(run, make_states)
+    grid10k = STEPS * B_G / best
+    emit("grid_50x50", env_steps_per_s=round(grid10k, 0), batch=B_G,
+         history_window=WINDOW_G, best_run_s=round(best, 3),
+         links=9800,
+         link_updates_per_s_e9=round(grid10k * 9800 / 1e9, 2))
+    return grid10k, B_G, WINDOW_G
+
+
+def bench_single(jax):
+    # single replica, exact full-horizon mode.
     # NB: must be jitted at top level — an unjitted lax.scan dispatches
     # op-by-op through the remote TPU tunnel (the round-1 "111 steps/s"
     # single-replica figure was that dispatch artifact, not engine cost)
+    import numpy as _np
+
+    from pednstream_tpu.engine import simulate
+    from pednstream_tpu.generator import NetworkEnvGenerator
+    from pednstream_tpu.scenario import build_scenario
+
+    gen = NetworkEnvGenerator()
+    data = gen.load_network_data("melbourne")
     scn1 = build_scenario(
         data["adjacency_matrix"], gen.config["params"],
         gen.config["origin_nodes"], gen.config["destination_nodes"],
@@ -143,11 +222,39 @@ def main():
     f = full_run(st1)
     _ = float(_np.asarray(f.num_peds).sum())
     single = (T - 1) / (time.time() - t0)
-    print(
-        f"secondary: single-replica exact full-horizon {single:.0f} steps/s "
-        f"({single / REFERENCE_MELBOURNE_STEPS_PER_S:.1f}x reference)",
-        file=sys.stderr,
-    )
+    emit("single_replica", steps_per_s=round(single, 0),
+         vs_baseline=round(single / REFERENCE_MELBOURNE_STEPS_PER_S, 1))
+    return single
+
+
+def main():
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
+    if not probe_backend():
+        print(json.dumps({
+            "metric": "melbourne aggregate LTM env-steps/s (NOT RUN)",
+            "value": None, "unit": "env-steps/s", "vs_baseline": None,
+            "error": "accelerator backend unavailable: bounded probe "
+                     "failed twice (see backend_probe rows above)",
+        }), flush=True)
+        sys.exit(1)
+
+    import jax
+
+    agg = bench_melbourne(jax)
+
+    grid10k = grid_b = grid_w = None
+    single = None
+    if not _STOP:
+        try:
+            grid10k, grid_b, grid_w = bench_grid(jax)
+        except Exception as e:  # keep the headline even if a stage dies
+            emit("grid_50x50_error", err=repr(e)[:300])
+    if not _STOP:
+        try:
+            single = bench_single(jax)
+        except Exception as e:
+            emit("single_replica_error", err=repr(e)[:300])
 
     print(
         json.dumps(
@@ -161,13 +268,16 @@ def main():
                 "unit": "env-steps/s",
                 "vs_baseline": round(agg / REFERENCE_MELBOURNE_STEPS_PER_S, 1),
                 "extra": {
-                    "grid_50x50_10k_links_env_steps_per_s": round(grid10k, 0),
-                    "grid_50x50_batch": B_G,
-                    "grid_50x50_history_window": WINDOW_G,
-                    "single_replica_melbourne_steps_per_s": round(single, 0),
+                    "grid_50x50_10k_links_env_steps_per_s":
+                        None if grid10k is None else round(grid10k, 0),
+                    "grid_50x50_batch": grid_b,
+                    "grid_50x50_history_window": grid_w,
+                    "single_replica_melbourne_steps_per_s":
+                        None if single is None else round(single, 0),
                 },
             }
-        )
+        ),
+        flush=True,
     )
 
 
