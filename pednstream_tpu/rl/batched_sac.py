@@ -386,7 +386,11 @@ class BatchedSACTrainer:
                     )(jax.vmap(lambda s: jax.random.fold_in(s, 13))(new_states.key))
                     return _where_done(done, self._mix_nominal(redraw), eps_in)
 
-                eps = jax.lax.cond(done[0], _redraw, lambda e: e, eps)
+                # gate on ANY replica finishing, not just replica 0:
+                # correct under today's time-based lockstep done (all
+                # flags flip together), and still correct if termination
+                # ever becomes per-replica (_where_done selects per row)
+                eps = jax.lax.cond(jnp.any(done), _redraw, lambda e: e, eps)
             fresh_obs_env = jax.vmap(self.core._observations)(new_states)
             for aid in self.agents:
                 fo = self._agent_obs(fresh_obs_env, aid)

@@ -343,9 +343,17 @@ class PPOAgent:
         arch = {k: cfg[k] for k in ("net_type", "hidden_dim",
                                     "features_per_link") if k in cfg}
         if any(getattr(self, k) != v for k, v in arch.items()):
+            # keep a real adjacency if the caller supplied one at
+            # construction — rebuilding with adj=None would silently
+            # swap a gat policy's graph for the all-ones default
+            if arch.get("net_type") == "gat" and self.adj is None:
+                raise ValueError(
+                    "loading a 'gat' checkpoint into an agent built "
+                    "without an adjacency: construct the agent with "
+                    "net_type='gat' and the controlled-links adjacency")
             for k, v in arch.items():
                 setattr(self, k, v)
-            self._build_networks()
+            self._build_networks(adj=self.adj)
             self._jit_forward = jax.jit(self._forward)
             self._jit_epoch = jax.jit(self._epoch_update)
             self._jit_seq = jax.jit(self._sequence_forward)

@@ -245,6 +245,11 @@ def _validate_sac_dir(dataset: str, action_gap: int, ckpt_dir: str,
     wrapped = RunningNormalizeWrapper(env)
     agents = build_agents(wrapped, algo="sac", seed=seed)
     load_all_agents(agents, ckpt_dir, env=wrapped)
+    # freeze the loaded obs statistics so validation scores the policy
+    # under the SAME normalization evaluate.py will use — otherwise the
+    # stats drift during the validation episodes and the
+    # snapshot-selection protocol disagrees with the final eval protocol
+    wrapped.freeze()
     nominal = validate_agents(wrapped, agents, num_episodes=episodes,
                               randomize=False)
     if nominal_only:
