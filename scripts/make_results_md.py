@@ -32,6 +32,16 @@ def render_dataset(name: str, results: dict) -> str:
             vals = [r.get(key) for r in runs if r.get(key) is not None]
             row.append(f"{np.mean(vals):.{nd}f}" if vals else "—")
         lines.append("| " + " | ".join(row) + " |")
+    if name.startswith("one_intersection_v0"):
+        lines += ["", "**Oversaturated by construction — rows shown for "
+                  "zoo breadth, not discrimination.** The nominal world "
+                  "(run 0) saturates every policy: a fixed-split sweep at "
+                  "1.0/0.75/0.5/0.25x full gate width scores "
+                  "-4.24M/-4.64M/-4.99M/-5.31M, i.e. fully-open is the "
+                  "best static policy and every restriction is strictly "
+                  "worse, so there is no controllable headroom and all "
+                  "policies land at the open-gate jam cost (~-4.2M). The "
+                  "randomized runs (1+) carry the discriminating signal."]
     if "long_corridor" in name and "optimization" not in results:
         lines += ["", "(no `optimization` row: the MPC baseline ports the "
                   "reference's DecentralizedOptimizationAgent, which controls "
@@ -64,9 +74,14 @@ def render_dataset(name: str, results: dict) -> str:
 
 
 def summarize_wins(all_results: dict) -> list:
-    """One line per dataset: which policies beat BOTH no-control and
-    rule-based on mean total reward (the round-3 'RL provably wins'
-    criterion), generated from the data instead of hand-written."""
+    """One line per dataset ranking every trained policy on BOTH axes:
+    total reward (the reference-inherited training signal — local to
+    each agent's own links and clamped at the engine's jam travel-time)
+    and network-wide total delay (the offline metric, unclamped, over
+    every link).  The two can diverge by design: a gate's reward never
+    sees a gridlocked link elsewhere in the network, so a policy that
+    prevents a network collapse can look reward-neutral.  Generated from
+    the data instead of hand-written."""
     lines = []
     for name, results in all_results.items():
         base = [np.mean([r["total_reward"] for r in results[a]])
@@ -74,17 +89,25 @@ def summarize_wins(all_results: dict) -> list:
         if not base:
             continue
         bar = max(base)
+        nc_runs = results.get("no_control", [])
+        nc = np.mean([r["total_reward"] for r in nc_runs]) if nc_runs else bar
+        nc_delay = np.mean([r["delay.total_delay"] for r in nc_runs
+                            if "delay.total_delay" in r]) if nc_runs else None
         rows = []
         for algo, runs in results.items():
             if algo in ("no_control", "rule_based"):
                 continue
             mean = np.mean([r["total_reward"] for r in runs])
-            nc = np.mean([r["total_reward"] for r in results["no_control"]]) \
-                if "no_control" in results else bar
             rel = (mean - nc) / abs(nc) * 100
             tag = "beats both baselines" if mean > bar else (
                 "ties baselines" if mean > 1.05 * bar else "trails")
-            rows.append(f"{algo} {tag} ({rel:+.1f}% total reward vs no-control)")
+            part = f"{algo} {tag} ({rel:+.1f}% reward"
+            d = [r["delay.total_delay"] for r in runs
+                 if "delay.total_delay" in r]
+            if d and nc_delay:
+                dd = (np.mean(d) - nc_delay) / nc_delay * 100
+                part += f", {dd:+.0f}% network delay"
+            rows.append(part + " vs no-control)")
         lines.append(f"- **{name}**: " + "; ".join(rows))
     return lines
 
@@ -99,6 +122,21 @@ def main():
         with open(path) as f:
             results = json.load(f)
         all_results[name] = results
+        if name == "45_intersections_lstm":
+            # the lstm-variant eval trained/evaluated only the lstm_ppo
+            # policy; borrow the baselines from 45_intersections (a
+            # byte-identical dataset, same paired eval seeds) so the
+            # summary can rank it
+            base_path = os.path.join(os.path.dirname(os.path.dirname(path)),
+                                     "eval_45_intersections", "results.json")
+            if os.path.exists(base_path):
+                with open(base_path) as f:
+                    base = json.load(f)
+                merged = dict(results)
+                for a in ("no_control", "rule_based"):
+                    if a in base:
+                        merged[a] = base[a]
+                all_results[name] = merged
         if name == "45_intersections":
             # byte-identical to two_coordinators (verified against the
             # reference with diff -r) — one table, different seed noted
@@ -168,10 +206,30 @@ saved runs.
 
 ## Summary (generated from the tables below)
 
-Mean total reward across the paired runs; "beats both baselines" =
-strictly better than BOTH no-control and rule-based:
+Each line ranks policies on BOTH axes — mean total reward AND mean
+network-wide total delay vs no-control; "beats both baselines" =
+strictly better reward than BOTH no-control and rule-based:
 
 {wins}
+
+**Why the two axes diverge — and why delay is the axis that matters on
+the coordinator scenarios.** The reward is the reference's training
+signal: each gate is paid -(T_fwd + T_rev) over ITS OWN links only,
+with travel time clamped at the engine's jam value (env/core.py
+`_rewards`); a gridlocked link elsewhere in the network is invisible to
+it. Total delay is the offline metric: person-seconds of delay summed
+over EVERY link, unclamped. On two_coordinators / 45_intersections the
+trained policies prevent a genuine network collapse the reward cannot
+see: in the nominal world the uncontrolled run drives link 32-25 to a
+standstill (max link travel time 1,453,643 s, 3,814 pedestrians still
+in-network at the horizon), while the SAC-gated run keeps it moving
+(max link travel time 29,294 s, 1,469 left in-network, MORE trips
+served — run-0 throughput 0.942 vs 0.897, network avg travel time 50 s
+vs 222 s) — a 7x run-0 total-delay reduction (1.71M vs 12.26M
+person-seconds) that shows up as less than 0.5% of reward because the
+jammed link is not a gate link and the clamp bounds what the reward can
+express. These delay wins are the repo's strongest RL result; the
+reward axis alone would mislabel them as ties.
 
 On **long_corridor** (the one bundled Separator scenario), a fixed-split
 sweep on the nominal world scores 1.5/1.75/2.0/2.25/2.5 m forward-width
