@@ -261,7 +261,8 @@ def _validate_sac_dir(dataset: str, action_gap: int, ckpt_dir: str,
 
 def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
                       seed: int = 0, num_envs: int = 64, val_every: int = 25,
-                      randomize_fraction: float = 0.75):
+                      randomize_fraction: float = 0.75,
+                      use_mesh: bool = False):
     """SAC through the TPU-native batched trainer (rl/batched_sac.py):
     64 lockstep domain-randomized replicas + scanned updates give a
     ~20x gradient-step budget over the host loop in a fraction of the
@@ -281,9 +282,17 @@ def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
 
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
                             action_gap=action_gap, history_window=64)
+    mesh = None
+    if use_mesh:
+        from pednstream_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # all visible devices on the env axis
+        print(f"[{dataset}] SAC training sharded over {mesh.devices.size} "
+              "devices", flush=True)
     gw = env.spec_agents.gate_link_widths
     md = float(max((w.max() for w in gw), default=2.5))
-    tr = BatchedSACTrainer(env.core, num_envs=num_envs, collect_steps=8,
+    tr = BatchedSACTrainer(env.core, num_envs=num_envs, mesh=mesh,
+                           collect_steps=8,
                            updates_per_iter=64, batch_size=256,
                            buffer_capacity=65536, warmup_transitions=2048,
                            max_delta=md, gate_anchor="open",
@@ -471,7 +480,8 @@ def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
     sac_dir = os.path.join(ART, f"sac_agents_{dataset}")
     if not skip_sac and not eval_only:
         if sac_batched:
-            sac_dir = train_sac_batched(dataset, action_gap, sac_iters)
+            sac_dir = train_sac_batched(dataset, action_gap, sac_iters,
+                                        use_mesh=use_mesh)
         else:
             sac_dir = train_sac(dataset, action_gap, sac_eps or d_sac)
     elif not os.path.isdir(sac_dir):
