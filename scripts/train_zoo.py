@@ -34,7 +34,17 @@ DATASETS = {
     "one_intersection_v0": (15, 100, 30),
     "small_network": (15, 100, 30),
     "long_corridor": (10, 120, 30),
+    # round-4 purpose-built metering scenario (no reference analog):
+    # demand bursts overload an ungated bottleneck behind a gated
+    # feeder; see data/metered_corridor/sim_params.yaml for the physics
+    "metered_corridor": (5, 120, 30),
 }
+
+# datasets whose trainers should ALSO randomize OD-node activation in
+# the vmapped replicas (the eval protocol's randomize_network moves
+# origins/destinations via k-hop edits — training must see that
+# distribution where it changes the control problem)
+OD_RANDOMIZE = {"metered_corridor"}
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "zoo")
@@ -78,7 +88,8 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
         print(f"[{dataset}] training sharded over {mesh.devices.size} devices",
               flush=True)
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
-                            action_gap=action_gap, history_window=64)
+                            action_gap=action_gap, history_window=64,
+                            od_randomize=dataset in OD_RANDOMIZE)
     # open-anchored gate actions: absolute target = full-open + learned
     # offset (integrator-free; a zero policy IS no-control).  The offset
     # range must cover full closure, so max_delta = the widest gate.
@@ -281,7 +292,8 @@ def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
     from pednstream_tpu.rl.batched_sac import BatchedSACTrainer
 
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
-                            action_gap=action_gap, history_window=64)
+                            action_gap=action_gap, history_window=64,
+                            od_randomize=dataset in OD_RANDOMIZE)
     mesh = None
     if use_mesh:
         from pednstream_tpu.parallel import make_mesh
