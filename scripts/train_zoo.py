@@ -46,6 +46,19 @@ DATASETS = {
 # distribution where it changes the control problem)
 OD_RANDOMIZE = {"metered_corridor"}
 
+# per-dataset action-scale override.  The default (max over the gate's
+# link widths) is right when the gate links are comparable, but on
+# metered_corridor the 20 m plaza-side link would set tanh-scale 20 for
+# a feeder whose whole control range is 0-2 m — the policy's effective
+# resolution on the link that matters collapses to ~7% of its range.
+ACTION_SCALE = {"metered_corridor": 2.0}
+
+
+def _max_delta(dataset: str, gate_widths) -> float:
+    if dataset in ACTION_SCALE:
+        return ACTION_SCALE[dataset]
+    return float(max((w.max() for w in gate_widths), default=2.5))
+
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "zoo")
 
@@ -95,7 +108,7 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
     # range must cover full closure, so max_delta = the widest gate.
     import numpy as np
     gw = env.spec_agents.gate_link_widths
-    md = float(max((w.max() for w in gw), default=2.5))
+    md = _max_delta(dataset, gw)
     tr = BatchedPPOTrainer(env.core, num_envs=num_envs, rollout_len=rollout_len,
                            mesh=mesh, gate_anchor="open", max_delta=md,
                            net_type=net_type, randomize=True,
@@ -302,7 +315,7 @@ def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
         print(f"[{dataset}] SAC training sharded over {mesh.devices.size} "
               "devices", flush=True)
     gw = env.spec_agents.gate_link_widths
-    md = float(max((w.max() for w in gw), default=2.5))
+    md = _max_delta(dataset, gw)
     tr = BatchedSACTrainer(env.core, num_envs=num_envs, mesh=mesh,
                            collect_steps=8,
                            updates_per_iter=64, batch_size=256,
@@ -403,7 +416,7 @@ def train_sac(dataset: str, action_gap: int, episodes: int, seed: int = 0,
     # current-width integrator's closure drift; the offset range must
     # cover full closure
     gw = env.spec_agents.gate_link_widths
-    md = float(max((w.max() for w in gw), default=2.5))
+    md = _max_delta(dataset, gw)
     for aid, a in agents.items():
         if aid.startswith("gate"):
             a.gate_anchor = "open"
