@@ -285,6 +285,39 @@ def scenario_grid10(steps=250):
     return adj, params, corners, mids, None
 
 
+
+
+def scenario_metered_corridor(steps=600):
+    # round-4 purpose-built metering funnel
+    # (data/metered_corridor/sim_params.yaml): approach links, wide
+    # plaza, narrow gated feeder, ungated bottleneck.  The golden run
+    # exercises the uncontrolled dynamics (gates full-open) so the
+    # fixture pins the ENGINE on this geometry: per-link overrides, the
+    # 0.7 m bottleneck, burst demand.
+    adj = np.zeros((8, 8), dtype=int)
+    for a in range(7):
+        adj[a, a + 1] = adj[a + 1, a] = 1
+    params = {
+        "unit_time": 10,
+        "simulation_steps": steps,
+        "seed": 7,
+        "default_link": {
+            "length": 10, "width": 6, "free_flow_speed": 1.1,
+            "k_critical": 2, "k_jam": 6, "fd_type": "yperman",
+            "bi_factor": 0, "gamma": 0.01,
+        },
+        "links": {
+            "2_3": {"length": 20, "width": 20},
+            "3_4": {"length": 60, "width": 2},
+            "4_5": {"length": 40, "width": 0.7},
+        },
+        "demand": {
+            "origin_0": {"pattern": "gaussian_peaks", "peak_lambda": 30,
+                          "base_lambda": 4},
+        },
+    }
+    return adj, params, [0], [7], None
+
 SCENARIOS = {
     "long_corridor": scenario_long_corridor,
     "nine_node": scenario_nine_node,
@@ -293,6 +326,7 @@ SCENARIOS = {
     "grid7": scenario_grid7,
     "separator_corridor": scenario_separator_corridor,
     "grid10": scenario_grid10,
+    "metered_corridor": scenario_metered_corridor,
 }
 
 
