@@ -212,6 +212,23 @@ strictly better reward than BOTH no-control and rule-based:
 
 {wins}
 
+**Headline: gating decisively matters on `metered_corridor`.** The
+bundled gater scenarios are structurally open-optimal (front-gate
+cross-coupling, below), so round 4 authored a scenario where metering
+provably wins: a funnel whose demand bursts overload an ungated
+bottleneck behind a gated feeder, exploiting the engine's
+jam-discharge collapse (a jammed link drains ~10x below its gate
+capacity — data/metered_corridor/sim_params.yaml documents the
+physics, and a golden fixture pins the geometry to the reference
+engine bit-for-bit).  Trained PPO beats BOTH baselines on EVERY paired
+run — nominal +61% / randomized +65% total reward vs no-control, and
++10% / +21% / +20% vs the rule-based gater — while serving at least as
+many trips; SAC posts the best nominal run of any policy (+22% vs
+rule-based) but trails rule-based on the randomized worlds; the MPC
+baseline trails both.  Full closure is the WORST policy on this
+scenario by construction (the plaza jams), so the reward cannot be
+gamed by refusing service.
+
 **Why the two axes diverge — and why delay is the axis that matters on
 the coordinator scenarios.** The reward is the reference's training
 signal: each gate is paid -(T_fwd + T_rev) over ITS OWN links only,
@@ -249,6 +266,10 @@ the spillback catastrophe lies beyond GAE's effective horizon
 (rl/batched_ppo.py randomize_fraction documents this).
 
 ## Training throughput (1 TPU chip)
+
+(`metered_corridor` rows are CPU numbers: it was trained in round 4
+while the TPU backend was unreachable — see RUNBOOK.md.  All other
+rows are single-chip TPU timings from rounds 2-3.)
 
 {curves}
 
