@@ -46,12 +46,14 @@ DATASETS = {
 # distribution where it changes the control problem)
 OD_RANDOMIZE = {"metered_corridor"}
 
-# per-dataset action-scale override.  The default (max over the gate's
-# link widths) is right when the gate links are comparable, but on
-# metered_corridor the 20 m plaza-side link would set tanh-scale 20 for
-# a feeder whose whole control range is 0-2 m — the policy's effective
-# resolution on the link that matters collapses to ~7% of its range.
-ACTION_SCALE = {"metered_corridor": 2.0}
+# per-dataset action-scale override hook.  Empirically the default (max
+# over the gate's link widths) wins even on metered_corridor, where the
+# 20 m plaza-side link sets tanh-scale 20 for a 0-2 m feeder: the wide
+# scale's aggressive width-space exploration finds the closure
+# catastrophe (and the metering optimum) faster than a feeder-matched
+# scale 2.0, which converged to do-nothing on 4 of 4 retrain seeds
+# (every candidate was refused by the no-regress gates).
+ACTION_SCALE: dict = {}
 
 
 def _max_delta(dataset: str, gate_widths) -> float:
@@ -194,12 +196,43 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
             shutil.rmtree(tmp)
 
     out = os.path.join(ART, f"{prefix}_agents_{dataset}")
-    _export_ppo(out, tr, ts, env, net_type, iterations, dataset, num_envs,
-                rollout_len, action_gap, train_time, curve,
-                extra={"seeds_trained": seeds,
-                       "selected_seed": best.get("seed", 0),
-                       "selected_checkpoint": best.get("which", "final"),
-                       "seed_validation": best.get("detail", {})})
+    extra = {"seeds_trained": seeds,
+             "selected_seed": best.get("seed", 0),
+             "selected_checkpoint": best.get("which", "final"),
+             "seed_validation": best.get("detail", {})}
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "config.json")):
+        # no-regress gate (same protocol as the SAC path): rescore BOTH
+        # the shipped checkpoint and the candidate under the same
+        # deterministic validation seed, and only overwrite on a win —
+        # stored scores are not comparable across runs, and a retrain
+        # must never silently replace a better policy
+        import shutil
+        import tempfile
+
+        cand = tempfile.mkdtemp(prefix=f"ppo_{dataset}_cand_")
+        _export_ppo(cand, tr, ts, env, net_type, iterations, dataset,
+                    num_envs, rollout_len, action_gap, train_time, curve,
+                    extra=extra)
+        cand_score, _ = _validate_ppo_dir(dataset, action_gap, cand)
+        shipped_score, _ = _validate_ppo_dir(dataset, action_gap, out)
+        if cand_score <= shipped_score:
+            keep = out + ".candidate"
+            if os.path.isdir(keep):
+                shutil.rmtree(keep)
+            shutil.move(cand, keep)
+            print(f"[{dataset}] ppo candidate {cand_score:.0f} does not "
+                  f"beat shipped {shipped_score:.0f} (same-protocol "
+                  f"rescore); keeping existing checkpoint, candidate at "
+                  f"{keep}", flush=True)
+            return out
+        shutil.rmtree(out)
+        shutil.move(cand, out)
+        print(f"[{dataset}] ppo candidate {cand_score:.0f} beats shipped "
+              f"{shipped_score:.0f}; replaced", flush=True)
+    else:
+        _export_ppo(out, tr, ts, env, net_type, iterations, dataset,
+                    num_envs, rollout_len, action_gap, train_time, curve,
+                    extra=extra)
     print(f"[{dataset}] ppo done in {train_time:.0f}s -> {out}", flush=True)
     return out
 
