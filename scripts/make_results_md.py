@@ -220,14 +220,13 @@ bottleneck behind a gated feeder, exploiting the engine's
 jam-discharge collapse (a jammed link drains ~10x below its gate
 capacity — data/metered_corridor/sim_params.yaml documents the
 physics, and a golden fixture pins the geometry to the reference
-engine bit-for-bit).  Trained PPO beats BOTH baselines on EVERY paired
-run — nominal +61% / randomized +65% total reward vs no-control, and
-+10% / +21% / +20% vs the rule-based gater — while serving at least as
-many trips; SAC posts the best nominal run of any policy (+22% vs
-rule-based) but trails rule-based on the randomized worlds; the MPC
-baseline trails both.  Full closure is the WORST policy on this
-scenario by construction (the plaza jams), so the reward cannot be
-gamed by refusing service.
+engine bit-for-bit).  BOTH trained policies beat BOTH baselines on
+EVERY paired run: SAC (600-iteration batched trainer) +66-67% total
+reward vs no-control and +22-25% vs the rule-based gater; PPO +61-65%
+and +10-21% — while serving at least as many trips; the MPC baseline
+trails both.  Full closure is the WORST policy on this scenario by
+construction (the plaza jams), so the reward cannot be gamed by
+refusing service.
 
 **Why the two axes diverge — and why delay is the axis that matters on
 the coordinator scenarios.** The reward is the reference's training
