@@ -51,7 +51,7 @@ def main():
         steps = gen.config["params"]["simulation_steps"] - 1
         for mult, label in ((1.0, "nominal"), (8.0, "jam-heavy 8x demand")):
             d_exact, n_exact = run(build_scenario(*args), steps, mult)
-            for H in (64, 32):
+            for H in (64, 32, 16):
                 d_w, n_w = run(build_scenario(*args, history_window=H),
                                steps, mult)
                 dd = np.abs(d_w - d_exact)
