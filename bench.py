@@ -34,8 +34,9 @@ REFERENCE_MELBOURNE_STEPS_PER_S = 21.05  # measured 2026-08-16, this host
 # round-3 B-sweep with the one-pass ring reads: 512 -> 615k, 768 ->
 # 635k, 1024 -> 627k env-steps/s; the sweet spot moved up from 512
 BATCH = 1024  # round-4 live-chip sweep: B=1024 beats 768/896/1280
-WINDOW = 32   # trajectory-identical to exact on this config (PARITY.md:
-              # clamps never bind at nominal melbourne demand, H>=16)
+WINDOW = 16   # trajectory-identical to exact on melbourne even at 8x
+              # demand (PARITY.md round-4 H=16 quantification); live
+              # sweep: H=16/B=1024 727k vs H=32's 711k
 # one COMPLETE simulation per timed run (the scenarios' full 500-step
 # horizon): measuring a 100-step window under-reported steady-state
 # throughput ~25% by amortizing per-run dispatch overhead over too few
@@ -173,8 +174,11 @@ def bench_grid(jax):
     from pednstream_tpu.generator import NetworkEnvGenerator
     from pednstream_tpu.scenario import build_scenario
 
-    WINDOW_G = 32
-    B_G = 128  # B-swept: bigger batches regress on HBM pressure
+    WINDOW_G = 16  # zero-error at nominal grid demand (PARITY.md);
+    # first tiny clamp engagement only at 8x demand (max 0.065 ped/m^2)
+    B_G = 256  # round-4 H=16 B-sweep: 128->101k, 256->113.7k (x2 runs),
+    # 320->73k (non-tile batch), 384->107k; the halved ring admits a
+    # bigger batch before HBM pressure bites
     gen = NetworkEnvGenerator()
     data = gen.load_network_data("grid_50x50")
     scn = build_scenario(
