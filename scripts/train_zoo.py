@@ -529,10 +529,11 @@ def evaluate_zoo(dataset: str, action_gap: int, ppo_dir: str,
 def run(dataset: str, skip_sac: bool = False, skip_eval: bool = False,
         with_mpc: bool = False, ppo_iters: int = None, sac_eps: int = None,
         eval_only: bool = False, use_mesh: bool = False,
-        sac_batched: bool = False, sac_iters: int = 300):
+        sac_batched: bool = False, sac_iters: int = 300,
+        skip_ppo: bool = False):
     action_gap, d_ppo, d_sac = DATASETS[dataset]
     ppo_dir = os.path.join(ART, f"ppo_agents_{dataset}")
-    if not eval_only:
+    if not eval_only and not skip_ppo:
         ppo_dir = train_ppo(dataset, action_gap, ppo_iters or d_ppo,
                             use_mesh=use_mesh)
     sac_dir = os.path.join(ART, f"sac_agents_{dataset}")
@@ -553,6 +554,9 @@ def main():
     p.add_argument("--dataset", default=None, choices=list(DATASETS))
     p.add_argument("--all", action="store_true")
     p.add_argument("--skip-sac", action="store_true")
+    p.add_argument("--skip-ppo", action="store_true",
+                   help="reuse the shipped PPO checkpoint (SAC-only "
+                        "retrain); eval still covers both")
     p.add_argument("--skip-eval", action="store_true")
     p.add_argument("--with-mpc", action="store_true")
     p.add_argument("--ppo-iters", type=int, default=None)
@@ -577,7 +581,8 @@ def main():
             with_mpc=args.with_mpc,
             ppo_iters=args.ppo_iters, sac_eps=args.sac_episodes,
             eval_only=args.eval_only, use_mesh=args.mesh,
-            sac_batched=args.sac_batched, sac_iters=args.sac_iters)
+            sac_batched=args.sac_batched, sac_iters=args.sac_iters,
+            skip_ppo=args.skip_ppo)
 
 
 if __name__ == "__main__":
