@@ -108,15 +108,21 @@ def boundary_and_diffusion_reads(cum_in_ring, idx_ci, base, coefs, H: int):
                             jnp.where(k == 3, w[3][None, :],
                                       jnp.where(k == 4, w[4][None, :], 0.0)))),
     )
-    diff = (cum_in_ring * coef).sum(axis=0)
-    # expressed as multiply-reduce (NOT select-reduce) so both reductions
-    # are identical op shapes over the one shared ring input — XLA's
-    # multi-output fusion only merges sibling reductions of the same
-    # pattern; mixing select_reduce with multiply_reduce left two full
-    # ring passes (profiled: 875us -> ~470us per step at B=256).
-    # Mask-multiply is IEEE-exact here: ring values are finite and
-    # non-negative, so 1.0*x == x and 0.0*x == 0.
-    ci = (cum_in_ring * sel_ci.astype(cum_in_ring.dtype)).sum(axis=0)
+    # BOTH accumulators through ONE variadic lax.reduce: two sibling
+    # jnp.sum calls compile to two separate reduce fusions that each
+    # stream the full [H, E] ring from HBM (profiled at B=256/H=16:
+    # 236us + 214us per step, ~20% of the grid_50x50 step); a single
+    # variadic reduce forces XLA to emit one fusion that loads each
+    # ring element once and feeds both multiply-accumulates from the
+    # register.  Mask-multiply is IEEE-exact here: ring values are
+    # finite and non-negative, so 1.0*x == x and 0.0*x == 0.
+    zero = jnp.zeros((), cum_in_ring.dtype)
+    ci, diff = jax.lax.reduce(
+        (cum_in_ring * sel_ci.astype(cum_in_ring.dtype), cum_in_ring * coef),
+        (zero, zero),
+        lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        [0],
+    )
     return ci, diff
 
 
