@@ -144,8 +144,13 @@ def bench_melbourne(jax):
     )
 
     def make_states(seed):
+        # unsafe_rbg keys: stochastic draws lower to the TPU-native
+        # RngBitGenerator op instead of ~15 VPU ops/word of threefry
+        # (live: 725k -> 898k env-steps/s).  Distributional parity with
+        # the reference is pinned by tests/test_stochastic_parity.py;
+        # plain "rbg" was rejected for a 425s compile (vs ~15s).
         return jax.vmap(scn.init_state)(
-            jax.random.split(jax.random.PRNGKey(seed), BATCH))
+            jax.random.split(jax.random.key(seed, impl="unsafe_rbg"), BATCH))
 
     # warm-run fence must be a host read of the output: block_until_ready
     # can return on a fire-ahead ack, leaving the warm run queued so the
@@ -154,7 +159,9 @@ def bench_melbourne(jax):
     _ = float(run(make_states(0)).num_peds.sum())
     emit("melbourne_compile", s=round(time.time() - t0, 1))
     best = _timed_runs(run, make_states, work_per_run=STEPS * BATCH,
-                       target=6e5)  # BASELINE bar re-verified live round 4
+                       target=8e5)  # retry bar just under the 898k
+    # live figure (one-pass ring reduce + unsafe_rbg, round 4); the
+    # BASELINE target itself is 6e5
     agg = STEPS * BATCH / best
     emit("melbourne", env_steps_per_s=round(agg, 0), batch=BATCH,
          history_window=WINDOW, best_run_s=round(best, 3),
@@ -192,14 +199,16 @@ def bench_grid(jax):
     )
 
     def make_states(seed):
+        # unsafe_rbg: see bench_melbourne (live: 123.6k -> 136.7k)
         return jax.vmap(scn.init_state)(
-            jax.random.split(jax.random.PRNGKey(seed), B_G))
+            jax.random.split(jax.random.key(seed, impl="unsafe_rbg"), B_G))
 
     t0 = time.time()
     _ = float(run(make_states(0)).num_peds.sum())
     emit("grid_50x50_compile", s=round(time.time() - t0, 1))
     best = _timed_runs(run, make_states, work_per_run=STEPS * B_G,
-                       target=1e5)  # BASELINE >=1e5 north star
+                       target=1.25e5)  # retry bar under the live 136.7k;
+    # the BASELINE >=1e5 north star has ~35% headroom
     grid10k = STEPS * B_G / best
     emit("grid_50x50", env_steps_per_s=round(grid10k, 0), batch=B_G,
          history_window=WINDOW_G, best_run_s=round(best, 3),

@@ -32,7 +32,7 @@ PARAMS = {
 N_RUNS = 12
 
 
-def _our_runs(binomial_mode="exact"):
+def _our_runs(binomial_mode="exact", prng_impl="threefry2x32"):
     import copy
 
     from pednstream_tpu import build_scenario
@@ -44,7 +44,7 @@ def _our_runs(binomial_mode="exact"):
         params["seed"] = 1000 + i  # per-run demand seed
         scn = build_scenario(ADJ, params, [0], [3], binomial_mode=binomial_mode)
         f, outs = simulate(scn, scn.engine_params,
-                           scn.init_state(jax.random.PRNGKey(i)),
+                           scn.init_state(jax.random.key(i, impl=prng_impl)),
                            PARAMS["simulation_steps"] - 1,
                            stochastic=True, record=True)
         arrivals.append(float(np.asarray(f.virt_arr_cum).sum()))
@@ -85,9 +85,18 @@ def _ref_runs():
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
 @pytest.mark.slow
-@pytest.mark.parametrize("binomial_mode", ["exact", "fast"])
-def test_stochastic_distribution_parity(binomial_mode):
-    ours_arr, ours_dens = _our_runs(binomial_mode)
+@pytest.mark.parametrize("binomial_mode,prng_impl", [
+    ("exact", "threefry2x32"),
+    ("fast", "threefry2x32"),
+    # unsafe_rbg is the bench/trainer fast path on TPU: random bits come
+    # from the hardware RngBitGenerator op instead of ~15 VPU ops/word of
+    # threefry (live-chip: melbourne 725k -> 898k env-steps/s).  "unsafe"
+    # refers to split/fold_in key-derivation rigor, not bit quality; this
+    # case pins its distributional parity with the reference.
+    ("fast", "unsafe_rbg"),
+])
+def test_stochastic_distribution_parity(binomial_mode, prng_impl):
+    ours_arr, ours_dens = _our_runs(binomial_mode, prng_impl)
     ref_arr, ref_dens = _ref_runs()
 
     # same demand seeds => identical demand; stochastic release/activity
