@@ -253,6 +253,11 @@ at -648k/-163k/-135k/-438k/-1567k: the mid split is the best STATIC
 policy, so the headroom for control is only the time-varying remainder —
 the trained separator captures it (beating mid-split no-control) and
 the reactive EMA rule-based allocator is 3x worse than either.
+The long_corridor SAC row is CONVERGED, not under-trained: a round-4
+retrain at 2x the gradient budget (600 iterations, --skip-ppo) produced
+a best-validation snapshot scoring exactly the shipped checkpoint's
+-149,972 — the -4.2% reward gap vs no-control is this trainer's plateau
+on the separator task (PPO remains the winning family there).
 
 Two structural findings behind these numbers (docs/PARITY.md):
 a gate width throttles BOTH directions of its corridor at the gater
