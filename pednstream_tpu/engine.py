@@ -443,7 +443,19 @@ def _receiving_flows(scn, ep: EngineParams, st: NetworkState, t, S, key, stochas
     return R
 
 
-def _node_solve(scn, ep: EngineParams, st: NetworkState, t, S, R, phi):
+def _classic_solve(dem_mat, r_pad):
+    """'classic' proportional supply allocation (node.py:272-300) over an
+    arbitrary leading node axis: dem_mat [K, M, M], r_pad [K, M]."""
+    col_sums = dem_mat.sum(axis=1, keepdims=True)  # [K, 1, M]
+    share = dem_mat / jnp.where(col_sums != 0, col_sums, 1e-5)
+    supply = r_pad[:, None, :] * share
+    g = jnp.floor(jnp.minimum(dem_mat, supply))
+    q_in = jnp.maximum(0.0, g.sum(axis=2))  # outflow of incoming slot i
+    q_out = jnp.maximum(0.0, g.sum(axis=1))  # inflow to outgoing slot j
+    return q_in, q_out
+
+
+def _node_solve(scn, ep: EngineParams, st: NetworkState, t, S, R, phi, phi_c=None):
     """Padded merge/diverge over all nodes at once.
 
     Gathers per-node sending/receiving vectors (node.py:164-221 with the
@@ -451,6 +463,14 @@ def _node_solve(scn, ep: EngineParams, st: NetworkState, t, S, R, phi):
     crossing rule (node.py:230-242) and Regular by the 'classic'
     proportional supply allocation (node.py:272-300), then gathers flows
     back to the link axis.
+
+    When ``phi_c`` is given (fast routed path), ``phi`` is the static
+    ``phi_base`` and ``phi_c`` holds the dynamic turning fractions of the
+    NR routed nodes only (routing.RoutingTables.routed_ids); the classic
+    solve runs on phi_base everywhere and the routed rows are re-solved
+    compactly and written over the result — the solve is row-local per
+    node, so this equals the dense computation exactly while never
+    materializing a batched [B, N, M, M] phi.
     """
     f = scn.ftype
     N, M = scn.n_nodes, scn.max_deg
@@ -493,13 +513,15 @@ def _node_solve(scn, ep: EngineParams, st: NetworkState, t, S, R, phi):
         )
     else:
         # --- classic RegularNode solve (node.py:272-300) ---
-        dem_mat = phi * s_pad[:, :, None]  # phi_ij * s_i
-        col_sums = dem_mat.sum(axis=1, keepdims=True)  # [N, 1, M]
-        share = dem_mat / jnp.where(col_sums != 0, col_sums, 1e-5)
-        supply = r_pad[:, None, :] * share
-        g = jnp.floor(jnp.minimum(dem_mat, supply))
-        q_in_reg = jnp.maximum(0.0, g.sum(axis=2))  # outflow of incoming slot i
-        q_out_reg = jnp.maximum(0.0, g.sum(axis=1))  # inflow to outgoing slot j
+        q_in_reg, q_out_reg = _classic_solve(phi * s_pad[:, :, None], r_pad)
+        if phi_c is not None:
+            # re-solve the routed rows on their compact dynamic phi and
+            # overwrite (static sorted unique ids -> cheap batched scatter)
+            ids = scn.routing.routed_ids
+            q_in_c, q_out_c = _classic_solve(phi_c * s_pad[ids][:, :, None],
+                                             r_pad[ids])
+            q_in_reg = q_in_reg.at[ids].set(q_in_c)
+            q_out_reg = q_out_reg.at[ids].set(q_out_c)
 
     # --- OneToOne crossing solve (node.py:230-242): slot k <-> slot 1-k ---
     s2 = s_pad[:, :2]
@@ -627,16 +649,28 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
 
     # 2) dynamic turning fractions (path_finder.py:717-737); density and
     #    receiving-capacity reads are t-1 / t-2 state, so order-free.
+    phi_c = None
     if scn.routing is not None:
         cap_default = (
             st.back_gate * ep.k_critical * ep.free_flow_speed * scn.unit_time
         ).astype(f)
         od_flow_t = ep.od_table[:, t]
-        phi = turning_fractions_step(
+        exact_phi = getattr(scn, "exact_parity", False)
+        # fast classic path: keep phi COMPACT over the NR routed nodes and
+        # let _node_solve correct just those rows — a batched dense
+        # [B, N, M, M] phi is pure HBM traffic when NR << N (grid_50x50:
+        # 115 of 2,500 nodes; the densify dot XLA-fused into the node
+        # solve as serialized per-element VPU work, profiled 373 us/step)
+        use_compact = not exact_phi and scn.assign_flows_type != "optimal"
+        phi_or_c = turning_fractions_step(
             scn.routing, scn.n_nodes, scn.max_deg, scn.node_arity, scn.slot_valid,
             shared_density, st.recv_prev.astype(f), cap_default, od_flow_t,
-            ep.phi_base, exact=getattr(scn, "exact_parity", False),
+            ep.phi_base, exact=exact_phi, compact=use_compact,
         )
+        if use_compact:
+            phi, phi_c = ep.phi_base, phi_or_c
+        else:
+            phi = phi_or_c
     else:
         phi = ep.phi_base
 
@@ -645,7 +679,8 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
                          tau_shock_np=tau_shock_np)
 
     # 4) node merge/diverge + write-back
-    inflow_e, outflow_e, virt_dep, virt_arr = _node_solve(scn, ep, st, t, S, R, phi)
+    inflow_e, outflow_e, virt_dep, virt_arr = _node_solve(scn, ep, st, t, S, R, phi,
+                                                          phi_c=phi_c)
 
     # 5) cumulative curves (node.py:146-162 via link.py:19-25)
     cum_in = st.cum_in + inflow_e

@@ -231,14 +231,23 @@ class RoutingTables:
     # static one-hot aggregation matrices: on TPU, segment_sum lowers to
     # scatter-adds that serialize; with K entries these tiny matmuls ride
     # the MXU instead (used on the fast path; exact-parity keeps
-    # segment_sum's summation order)
+    # segment_sum's summation order).  The phi scatter goes through a
+    # COMPACT slot space over the NR routed nodes only: a direct
+    # [K, N*M*M] one-hot was 99 MB on grid_50x50 (2,500 nodes) and its
+    # matmul streamed that matrix every step for 460 live columns
+    # (profiled at 198 us/step, 11% of the whole batched step); the
+    # compact pair is ~6 MB and the densify matmul has exactly one
+    # nonzero per output column, so the result is bitwise identical.
     onehot_te_group: jnp.ndarray  # [K, G]
     onehot_uo_group: jnp.ndarray  # [U, UG]
-    onehot_phi: jnp.ndarray  # [K, N*M*M]
+    onehot_phi_c: jnp.ndarray  # [K, NR*M*M] compact phi scatter
+    onehot_densify: jnp.ndarray  # [NR, N] compact row -> dense node row
+    routed_ids: jnp.ndarray  # [NR] int32, sorted routed node ids
 
     num_groups: int = struct.field(pytree_node=False)
     num_uo_groups: int = struct.field(pytree_node=False)
     num_entries: int = struct.field(pytree_node=False)
+    num_routed: int = struct.field(pytree_node=False)
 
 
 def build_routing_tables(
@@ -349,9 +358,18 @@ def build_routing_tables(
     U = len(uo_od_l)
     onehot_uo_group = np.zeros((U, UG), dtype=np.float32)
     onehot_uo_group[np.arange(U), uo_group_arr] = 1.0
-    NMM = topo.n_nodes * M * M
-    onehot_phi = np.zeros((K, NMM), dtype=np.float32)
-    onehot_phi[np.arange(K), np.array(te_phi_idx, dtype=np.int64)] = 1.0
+    # compact phi scatter: column space is (routed node, up, down) only
+    routed_arr = np.array(routed_nodes, dtype=np.int32)  # sorted by build
+    NR = len(routed_arr)
+    node_to_c = {int(n): i for i, n in enumerate(routed_arr)}
+    phi_idx_arr = np.array(te_phi_idx, dtype=np.int64)
+    c_cols = np.array(
+        [node_to_c[int(p // (M * M))] * M * M + int(p % (M * M))
+         for p in phi_idx_arr], dtype=np.int64)
+    onehot_phi_c = np.zeros((K, NR * M * M), dtype=np.float32)
+    onehot_phi_c[np.arange(K), c_cols] = 1.0
+    onehot_densify = np.zeros((NR, topo.n_nodes), dtype=np.float32)
+    onehot_densify[np.arange(NR), routed_arr] = 1.0
 
     return RoutingTables(
         te_dist=te_dist,
@@ -370,10 +388,13 @@ def build_routing_tables(
         omega=np.float64(builder.omega),
         onehot_te_group=onehot_te_group,
         onehot_uo_group=onehot_uo_group,
-        onehot_phi=onehot_phi,
+        onehot_phi_c=onehot_phi_c,
+        onehot_densify=onehot_densify,
+        routed_ids=routed_arr,
         num_groups=G,
         num_uo_groups=UG,
         num_entries=len(te_rows),
+        num_routed=NR,
     )
 
 
@@ -393,6 +414,7 @@ def turning_fractions_step(
     od_flow_t,  # [P] od flows at time t
     phi_base,  # [N, M, M] static equal fractions
     exact: bool = True,
+    compact: bool = False,
 ):
     """Compute phi[N, M, M] turning fractions for this step.
 
@@ -445,27 +467,49 @@ def turning_fractions_step(
     p_turn = z / zsum[rt.te_group]
 
     contrib = p_turn * p_uo[rt.te_uo_idx]
+
+    def guard(phi, sv, arity):
+        # row-normalization guard (check_fractions, path_finder.py:691-715)
+        # over an arbitrary node axis (dense [N] or compact [NR])
+        eye = jnp.eye(max_deg, dtype=bool)
+        offdiag_valid = sv[:, :, None] & sv[:, None, :] & ~eye[None]
+        rowsum = phi.sum(axis=-1)
+        inv = (1.0 / jnp.maximum(arity.astype(f) - 1.0, 1.0))[:, None, None]
+        uniform = jnp.where(offdiag_valid, inv, 0.0)
+        need_fix = jnp.abs(rowsum - 1.0) > 1e-3
+        rs_safe = jnp.where(rowsum > 1e-6, rowsum, 1.0)
+        phi_norm = phi / rs_safe[:, :, None]
+        return jnp.where(
+            (need_fix & (rowsum > 1e-6))[:, :, None],
+            phi_norm,
+            jnp.where((need_fix & ~(rowsum > 1e-6))[:, :, None], uniform, phi),
+        )
+
     if exact:
         phi_flat = jax.ops.segment_sum(
             contrib, rt.te_phi_idx, num_segments=n_nodes * max_deg * max_deg
         )
+        phi = phi_flat.reshape(n_nodes, max_deg, max_deg)
+        phi_fixed = guard(phi, slot_valid, node_arity)
     else:
-        phi_flat = contrib @ rt.onehot_phi.astype(contrib.dtype)
-    phi = phi_flat.reshape(n_nodes, max_deg, max_deg)
-
-    # row-normalization guard (check_fractions, path_finder.py:691-715)
-    eye = jnp.eye(max_deg, dtype=bool)
-    offdiag_valid = slot_valid[:, :, None] & slot_valid[:, None, :] & ~eye[None]
-    rowsum = phi.sum(axis=-1)  # [N, M]
-    m = node_arity.astype(f)
-    inv = (1.0 / jnp.maximum(m - 1.0, 1.0))[:, None, None]  # [N,1,1]
-    uniform = jnp.where(offdiag_valid, inv, 0.0)
-    need_fix = jnp.abs(rowsum - 1.0) > 1e-3
-    rs_safe = jnp.where(rowsum > 1e-6, rowsum, 1.0)
-    phi_norm = phi / rs_safe[:, :, None]
-    phi_fixed = jnp.where(
-        (need_fix & (rowsum > 1e-6))[:, :, None],
-        phi_norm,
-        jnp.where((need_fix & ~(rowsum > 1e-6))[:, :, None], uniform, phi),
-    )
+        # compact path: assemble + guard phi only for the NR routed nodes,
+        # then densify with a one-nonzero-per-column 0/1 matmul — bitwise
+        # identical to the dense [K, N*M*M] scatter-matmul (x*1 + 0*y == x
+        # for these finite non-negative values) at a fraction of the HBM
+        # traffic and MXU work (docs/PERFORMANCE.md round-4 trail)
+        # precision=HIGHEST: the default TPU dot precision rounds the f32
+        # operands through bf16 passes (~2^-9 relative error on phi); the
+        # compact matrices are small enough that full-f32 passes are cheap
+        hi = jax.lax.Precision.HIGHEST
+        phi_c = jnp.matmul(contrib, rt.onehot_phi_c.astype(contrib.dtype),
+                           precision=hi).reshape(rt.num_routed, max_deg, max_deg)
+        phi_fixed_c = guard(phi_c, slot_valid[rt.routed_ids],
+                            node_arity[rt.routed_ids])
+        if compact:
+            # caller (engine._node_solve) solves routed nodes directly on
+            # the compact rows and never materializes a batched dense phi
+            return phi_fixed_c
+        phi_fixed = jnp.einsum("rn,rij->nij",
+                               rt.onehot_densify.astype(f), phi_fixed_c,
+                               precision=hi)
     return jnp.where(rt.routed_mask[:, None, None], phi_fixed, phi_base)

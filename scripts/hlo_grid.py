@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = int(os.environ.get("PROF_B", "256"))
 H = int(os.environ.get("PROF_H", "32"))
+IMPL = os.environ.get("PROF_IMPL", "threefry2x32")  # bench path: unsafe_rbg
 NAMES = [n.strip() for n in os.environ.get(
     "HLO_NAMES",
     "select_reduce_fusion.2,multiply_reduce_fusion.2,fusion.311,fusion.318,"
@@ -36,7 +37,8 @@ def main():
     ep = scn.engine_params
     fn = jax.jit(lambda ss: simulate_batched(scn, ep, ss, 100,
                                              stochastic=True))
-    states = jax.vmap(scn.init_state)(jax.random.split(jax.random.PRNGKey(0), B))
+    states = jax.vmap(scn.init_state)(
+        jax.random.split(jax.random.key(0, impl=IMPL), B))
     txt = fn.lower(states).compile().as_text()
     # print each requested fusion's computation header + first lines with metadata
     for name in NAMES:

@@ -18,8 +18,9 @@ import numpy as np
 
 H = int(os.environ.get("PROF_H", "32"))
 B = int(os.environ.get("PROF_B", "128"))
+IMPL = os.environ.get("PROF_IMPL", "threefry2x32")  # bench path: unsafe_rbg
 STEPS = 100
-TRACE_DIR = f"/tmp/grid_trace_H{H}_B{B}"
+TRACE_DIR = f"/tmp/grid_trace_H{H}_B{B}_{IMPL}"
 
 
 def main():
@@ -39,10 +40,11 @@ def main():
     ep = scn.engine_params
     run = jax.jit(lambda ss: simulate_batched(scn, ep, ss, STEPS,
                                               stochastic=True))
-    mk = lambda k: jax.vmap(scn.init_state)(jax.random.split(k, B))
-    _ = float(run(mk(jax.random.PRNGKey(0))).num_peds.sum())  # warm fence
+    mk = lambda s: jax.vmap(scn.init_state)(
+        jax.random.split(jax.random.key(s, impl=IMPL), B))
+    _ = float(run(mk(0)).num_peds.sum())  # warm fence
 
-    st = mk(jax.random.PRNGKey(1))
+    st = mk(1)
     np.asarray(st.density)
     t0 = time.time()
     out = run(st)
@@ -51,7 +53,7 @@ def main():
     print(f"H={H} B={B}: {STEPS * B / wall:.0f} env-steps/s "
           f"({wall / STEPS * 1e3:.2f} ms/step)", flush=True)
 
-    st = mk(jax.random.PRNGKey(2))
+    st = mk(2)
     np.asarray(st.density)
     with jax.profiler.trace(TRACE_DIR):
         out = run(st)
