@@ -69,6 +69,48 @@ def test_mass_conservation():
     assert abs(dep - (peds.sum() + arr)) < 1e-3
 
 
+def test_compact_routing_matches_dense():
+    """The fast routed-phi path keeps phi compact over the NR routed nodes
+    and re-solves just those rows in _node_solve (routing.py compact=True);
+    the classic solve is row-local per node, so this must equal the dense
+    [N, M, M] computation exactly — both at the phi level and at the
+    node-solve flow level."""
+    from pednstream_tpu.engine import _node_solve
+    from pednstream_tpu.generator import NetworkEnvGenerator
+    from pednstream_tpu.routing import turning_fractions_step
+
+    gen = NetworkEnvGenerator()
+    scn = gen.create_network("butterfly_scC")
+    rt = scn.routing
+    assert rt is not None and 0 < rt.num_routed < scn.n_nodes
+    ep = scn.engine_params
+    f = scn.ftype
+    rng = np.random.RandomState(3)
+    E = scn.n_links
+    density = jnp.asarray(rng.uniform(0, 8, E).astype(f))
+    recv_prev = jnp.asarray(rng.uniform(-1, 30, E).astype(f))
+    cap_default = jnp.asarray(rng.uniform(1, 40, E).astype(f))
+    od_flow_t = jnp.asarray(ep.od_table[:, 5])
+    args = (rt, scn.n_nodes, scn.max_deg, scn.node_arity, scn.slot_valid,
+            density, recv_prev, cap_default, od_flow_t, ep.phi_base)
+
+    phi_dense = turning_fractions_step(*args, exact=False, compact=False)
+    phi_c = turning_fractions_step(*args, exact=False, compact=True)
+    ids = np.asarray(rt.routed_ids)
+    np.testing.assert_array_equal(np.asarray(phi_dense)[ids], np.asarray(phi_c))
+    unrouted = ~np.asarray(rt.routed_mask)
+    np.testing.assert_array_equal(np.asarray(phi_dense)[unrouted],
+                                  np.asarray(ep.phi_base)[unrouted])
+
+    st = scn.init_state(jax.random.PRNGKey(0))
+    S = jnp.asarray(rng.uniform(0, 20, E).astype(f))
+    R = jnp.asarray(rng.uniform(0, 20, E).astype(f))
+    out_dense = _node_solve(scn, ep, st, 5, S, R, phi_dense, phi_c=None)
+    out_compact = _node_solve(scn, ep, st, 5, S, R, ep.phi_base, phi_c=phi_c)
+    for a, b in zip(out_dense, out_compact):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_output_roundtrip_and_metrics(tmp_path):
     from pednstream_tpu.engine import simulate
     from pednstream_tpu.io import OutputHandler
