@@ -687,7 +687,24 @@ def step_fn(scn, ep: EngineParams, st: NetworkState, stochastic: bool = False,
     cum_out = st.cum_out + outflow_e
     cum_in_ring = st.cum_in_ring.at[t % scn.H].set(cum_in)
     cum_out_ring = st.cum_out_ring.at[t % scn.H].set(cum_out)
-    inflow_ring = st.inflow_ring.at[t % scn.H].set(inflow_e)
+    # the inflow ring is read in-loop only by the exact-parity /
+    # deterministic / Pallas diffusion paths (the stochastic fast path
+    # reconstructs the taps from cum_in differences); elsewhere it is
+    # diagnostic state for host-side consumers (rl/optimization_based.py)
+    # that scenarios can opt out of maintaining — on melbourne B=1024
+    # this one unread row write cost ~250 us/step (an unfused
+    # dynamic-update-slice whose carried buffer gets a reader-less
+    # layout, plus the copies it forces; docs/PERFORMANCE.md round 4)
+    need_inflow_ring = (
+        getattr(scn, "track_inflow_ring", True)
+        or getattr(scn, "exact_parity", False)
+        or getattr(scn, "use_pallas", False)
+        or not stochastic
+    )
+    if need_inflow_ring:
+        inflow_ring = st.inflow_ring.at[t % scn.H].set(inflow_e)
+    else:
+        inflow_ring = st.inflow_ring
 
     # 6) density/speed updates
     num_peds, density, speed, travel_time, link_flow, avg_tt, run_sum, tt_ring = (

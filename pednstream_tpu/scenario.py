@@ -72,6 +72,7 @@ class Scenario:
         binomial_mode: str = "exact",
         use_pallas: bool = False,
         pallas_interpret: bool = False,
+        track_inflow_ring: bool = True,
     ):
         self.exact_parity = exact_parity
         self.history_window = history_window
@@ -80,6 +81,16 @@ class Scenario:
         # mode runs the kernel in the Pallas interpreter (CPU tests)
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
+        # the stochastic fast path reconstructs the diffusion taps from
+        # cum_in differences (ops/ncurve.py) and never reads the inflow
+        # ring in-loop; its per-step row write is pure diagnostic state
+        # (host-side consumers like rl/optimization_based.py read it from
+        # the final state).  track_inflow_ring=False skips maintaining it
+        # on that path — dynamics are unchanged; state.inflow_ring stays
+        # zeros.  The flag is ignored (ring always maintained) whenever
+        # some in-loop reader needs it: exact-parity, deterministic mode,
+        # or the Pallas fused-history kernel.
+        self.track_inflow_ring = track_inflow_ring
         self.topo = topo
         self.params = params
         self.origin_nodes = list(origin_nodes)
@@ -229,6 +240,7 @@ def build_scenario(
     binomial_mode: str = "exact",
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    track_inflow_ring: bool = True,
     od_candidates: Optional[Tuple[List[int], List[int]]] = None,
 ) -> Scenario:
     """Compile a scenario (reference Network.__init__, network.py:56-121).
@@ -363,6 +375,7 @@ def build_scenario(
         binomial_mode=binomial_mode,
         use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
+        track_inflow_ring=track_inflow_ring,
     )
     # in-vmap OD-node randomization metadata (see randomize.py)
     scn.od_randomizable = od_candidates is not None

@@ -19,8 +19,9 @@ import numpy as np
 H = int(os.environ.get("PROF_H", "32"))
 B = int(os.environ.get("PROF_B", "128"))
 IMPL = os.environ.get("PROF_IMPL", "threefry2x32")  # bench path: unsafe_rbg
+DATASET = os.environ.get("PROF_DATASET", "grid_50x50")
 STEPS = 100
-TRACE_DIR = f"/tmp/grid_trace_H{H}_B{B}_{IMPL}"
+TRACE_DIR = f"/tmp/grid_trace_{DATASET}_H{H}_B{B}_{IMPL}"
 
 
 def main():
@@ -31,7 +32,7 @@ def main():
     from pednstream_tpu.scenario import build_scenario
 
     gen = NetworkEnvGenerator()
-    data = gen.load_network_data("grid_50x50")
+    data = gen.load_network_data(DATASET)
     scn = build_scenario(
         data["adjacency_matrix"], gen.config["params"],
         gen.config["origin_nodes"], gen.config["destination_nodes"],

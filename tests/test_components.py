@@ -69,6 +69,38 @@ def test_mass_conservation():
     assert abs(dep - (peds.sum() + arr)) < 1e-3
 
 
+def test_untracked_inflow_ring_same_dynamics():
+    """track_inflow_ring=False skips the diagnostic inflow-ring row write
+    on the stochastic fast path (its unread dynamic-update-slice cost ~20%
+    of the melbourne bench step) — dynamics must be bit-identical, the
+    ring must stay zeros, and deterministic mode must keep maintaining the
+    ring regardless (its diffusion path reads it in-loop)."""
+    from pednstream_tpu.engine import simulate
+
+    scn = _tiny_scenario()
+    ep = scn.engine_params
+    st0 = scn.init_state(jax.random.PRNGKey(3))
+    outs = {}
+    for track in (True, False):
+        scn.track_inflow_ring = track
+        outs[track], _ = jax.jit(
+            lambda s: simulate(scn, ep, s, 50, stochastic=True, record=False)
+        )(st0)
+    np.testing.assert_array_equal(np.asarray(outs[True].num_peds),
+                                  np.asarray(outs[False].num_peds))
+    np.testing.assert_array_equal(np.asarray(outs[True].cum_in),
+                                  np.asarray(outs[False].cum_in))
+    assert np.abs(np.asarray(outs[False].inflow_ring)).max() == 0.0
+    assert np.abs(np.asarray(outs[True].inflow_ring)).max() > 0.0
+
+    # deterministic mode reads the ring in-loop -> flag must be ignored
+    scn.track_inflow_ring = False
+    fin_d, _ = jax.jit(
+        lambda s: simulate(scn, ep, s, 50, stochastic=False, record=False)
+    )(st0)
+    assert np.abs(np.asarray(fin_d.inflow_ring)).max() > 0.0
+
+
 def test_compact_routing_matches_dense():
     """The fast routed-phi path keeps phi compact over the NR routed nodes
     and re-solves just those rows in _node_solve (routing.py compact=True);
