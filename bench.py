@@ -113,8 +113,8 @@ def _timed_runs(run, make_states, n=3, work_per_run=None, target=None,
     i = 0
     while i < n or (target is not None and times
                     and work_per_run / min(times) < target and i < n_max):
-        if _STOP and times:
-            break  # graceful drain: keep what we have
+        if _STOP:
+            break  # graceful drain: launch no new work, keep what we have
         states = make_states(i + 1)
         _np.asarray(states.density)  # input transfer fence
         t0 = time.time()
@@ -122,6 +122,8 @@ def _timed_runs(run, make_states, n=3, work_per_run=None, target=None,
         checksum = float(out.num_peds.sum())
         times.append(time.time() - t0)
         i += 1
+    if not times:
+        return None  # SIGTERM before any timed run completed
     assert checksum > 0, "engine produced an empty network"
     return min(times)
 
@@ -166,6 +168,9 @@ def bench_melbourne(jax):
                        target=9.5e5)  # retry bar just under the 1.05M
     # live figure (one-pass ring reduce + unsafe_rbg + untracked inflow
     # ring, round 4); the BASELINE target itself is 6e5
+    if best is None:
+        emit("melbourne", aborted="SIGTERM before first timed run")
+        return None
     agg = STEPS * BATCH / best
     emit("melbourne", env_steps_per_s=round(agg, 0), batch=BATCH,
          history_window=WINDOW, best_run_s=round(best, 3),
@@ -214,6 +219,9 @@ def bench_grid(jax):
     best = _timed_runs(run, make_states, work_per_run=STEPS * B_G,
                        target=1.3e5)  # retry bar under the live 141.4k;
     # the BASELINE >=1e5 north star has ~40% headroom
+    if best is None:
+        emit("grid_50x50", aborted="SIGTERM before first timed run")
+        return None, B_G, WINDOW_G
     grid10k = STEPS * B_G / best
     emit("grid_50x50", env_steps_per_s=round(grid10k, 0), batch=B_G,
          history_window=WINDOW_G, best_run_s=round(best, 3),
@@ -263,17 +271,29 @@ def main():
     signal.signal(signal.SIGTERM, _on_sigterm)
 
     if not probe_backend():
+        # distinguish a graceful SIGTERM abort from a genuinely wedged
+        # chip — the persisted artifact is evidence, so the failure line
+        # must not mis-attribute a shutdown as a backend fault
+        err = ("aborted by SIGTERM during backend probe" if _STOP else
+               "accelerator backend unavailable: bounded probe failed "
+               "twice (see backend_probe rows above)")
         print(json.dumps({
             "metric": "melbourne aggregate LTM env-steps/s (NOT RUN)",
             "value": None, "unit": "env-steps/s", "vs_baseline": None,
-            "error": "accelerator backend unavailable: bounded probe "
-                     "failed twice (see backend_probe rows above)",
+            "error": err,
         }), flush=True)
         sys.exit(1)
 
     import jax
 
     agg = bench_melbourne(jax)
+    if agg is None:  # SIGTERM before any melbourne evidence
+        print(json.dumps({
+            "metric": "melbourne aggregate LTM env-steps/s (NOT RUN)",
+            "value": None, "unit": "env-steps/s", "vs_baseline": None,
+            "error": "aborted by SIGTERM before the first timed run",
+        }), flush=True)
+        sys.exit(1)
 
     grid10k = grid_b = grid_w = None
     single = None

@@ -30,13 +30,13 @@ Usage:
     trainer = BatchedPPOTrainer(env.core, num_envs=256, rollout_len=32,
                                 net_type="attention", randomize=True)
     state = trainer.init(jax.random.PRNGKey(0))
+    for it in range(100):
+        state, metrics = trainer.train_iteration(state)
 
 The init key must be a threefry key (the default).  ``unsafe_rbg``
 keys — the fast path used by the engine-only bench (bench.py) — crash
 the remote TPU worker when used inside the trainer's compiled program
 (see RUNBOOK.md "Process hygiene").
-    for it in range(100):
-        state, metrics = trainer.train_iteration(state)
 """
 
 from typing import Dict, Optional

@@ -13,10 +13,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 B = int(os.environ.get("PROF_B", "256"))
 H = int(os.environ.get("PROF_H", "32"))
 IMPL = os.environ.get("PROF_IMPL", "threefry2x32")  # bench path: unsafe_rbg
+# defaults track the current hot-op names (the variadic lax.reduce pass
+# merged the old select_reduce/multiply_reduce sibling pair); pass
+# HLO_NAMES from a fresh scripts/profile_grid.py run for exact names
 NAMES = [n.strip() for n in os.environ.get(
     "HLO_NAMES",
-    "select_reduce_fusion.2,multiply_reduce_fusion.2,fusion.311,fusion.318,"
-    "fusion.327,fusion.295,fusion.308,fusion.299,fusion.316",
+    "multiply_reduce_fusion.4,broadcast_multiply_fusion.7,fusion.224,"
+    "fusion.239,fusion.249,fusion.230",
 ).split(",")]
 
 

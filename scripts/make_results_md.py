@@ -91,8 +91,12 @@ def summarize_wins(all_results: dict) -> list:
         bar = max(base)
         nc_runs = results.get("no_control", [])
         nc = np.mean([r["total_reward"] for r in nc_runs]) if nc_runs else bar
-        nc_delay = np.mean([r["delay.total_delay"] for r in nc_runs
-                            if "delay.total_delay" in r]) if nc_runs else None
+        nc_delays = [r["delay.total_delay"] for r in nc_runs
+                     if "delay.total_delay" in r]
+        # older results.json rows predate the delay metrics: an empty
+        # list would make np.mean() a NaN that passes truthiness and
+        # prints "+nan% network delay" — omit the axis instead
+        nc_delay = np.mean(nc_delays) if nc_delays else None
         rows = []
         for algo, runs in results.items():
             if algo in ("no_control", "rule_based"):

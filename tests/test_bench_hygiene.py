@@ -66,3 +66,41 @@ def test_emit_rows_are_json_lines(capsys):
     bench.emit("melbourne", env_steps_per_s=1.0)
     row = json.loads(capsys.readouterr().out.strip())
     assert row == {"row": "melbourne", "env_steps_per_s": 1.0}
+
+
+def test_timed_runs_stop_before_first_run_returns_none():
+    """SIGTERM before the first timed run must launch NO new device work
+    (the docstring's drain contract) and report None, not crash on an
+    empty times list."""
+    old = bench._STOP
+    try:
+        bench._STOP = True
+        launched = []
+        best = bench._timed_runs(lambda s: launched.append(s),
+                                 lambda i: (_ for _ in ()).throw(
+                                     AssertionError("launched new work")),
+                                 n=3)
+        assert best is None and launched == []
+    finally:
+        bench._STOP = old
+
+
+def test_sigterm_abort_is_not_reported_as_backend_failure(monkeypatch, capsys):
+    """A SIGTERM during the probe must not mis-attribute the abort as a
+    wedged chip in the persisted headline."""
+    import pytest
+
+    def stopping_probe():
+        bench._STOP = True
+        return False
+
+    old = bench._STOP
+    try:
+        monkeypatch.setattr(bench, "probe_backend", stopping_probe)
+        with pytest.raises(SystemExit):
+            bench.main()
+        headline = json.loads(capsys.readouterr().out.splitlines()[-1])
+        assert "SIGTERM" in headline["error"]
+        assert "unavailable" not in headline["error"]
+    finally:
+        bench._STOP = old
