@@ -61,7 +61,8 @@ def emit(row: str, **kv):
     print(json.dumps({"row": row, **kv}), flush=True)
 
 
-def probe_backend(attempts: int = 2, timeout_s: int = 150) -> bool:
+def probe_backend(attempts: int = 3, timeout_s: int = 120,
+                  backoff_s: int = 100) -> bool:
     """Bounded out-of-process backend health check.
 
     jax backend init on this host goes through a remote tunnel and can
@@ -70,12 +71,25 @@ def probe_backend(attempts: int = 2, timeout_s: int = 150) -> bool:
     what state the chip is in.  The probe's tiny reduction is a true
     data dependency (fire-ahead acks make block_until_ready unreliable
     as a fence).
+
+    Failed attempts are SPACED by ``backoff_s``: wedge windows clear on
+    their own after ~2 minutes of quiet (measured 2026-08-19 across
+    four runs — a client connecting ~15s after a previous client was
+    killed mid-init hangs >150s, while probes launched ~2 min after the
+    last kill initialized in 14.5-15.5s and the full bench then ran
+    green).  Back-to-back retries land inside the same window; spacing
+    converts the same wall-clock budget into recovery time.
     """
     code = ("import jax, jax.numpy as jnp; "
             "print('probe ok', float(jnp.ones((8, 8)).sum()), jax.devices())")
     for i in range(attempts):
         if _STOP:
             return False
+        if i > 0 and backoff_s > 0:
+            emit("backend_probe_backoff", sleep_s=backoff_s)
+            time.sleep(backoff_s)
+            if _STOP:
+                return False
         t0 = time.time()
         try:
             r = subprocess.run([sys.executable, "-c", code],
@@ -275,8 +289,8 @@ def main():
         # chip — the persisted artifact is evidence, so the failure line
         # must not mis-attribute a shutdown as a backend fault
         err = ("aborted by SIGTERM during backend probe" if _STOP else
-               "accelerator backend unavailable: bounded probe failed "
-               "twice (see backend_probe rows above)")
+               "accelerator backend unavailable: every bounded, spaced "
+               "probe failed (see backend_probe rows above)")
         print(json.dumps({
             "metric": "melbourne aggregate LTM env-steps/s (NOT RUN)",
             "value": None, "unit": "env-steps/s", "vs_baseline": None,

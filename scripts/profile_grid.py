@@ -19,9 +19,10 @@ import numpy as np
 H = int(os.environ.get("PROF_H", "32"))
 B = int(os.environ.get("PROF_B", "128"))
 IMPL = os.environ.get("PROF_IMPL", "threefry2x32")  # bench path: unsafe_rbg
+NOIR = os.environ.get("PROF_NOIR", "0") == "1"  # bench path: track_inflow_ring=False
 DATASET = os.environ.get("PROF_DATASET", "grid_50x50")
 STEPS = 100
-TRACE_DIR = f"/tmp/grid_trace_{DATASET}_H{H}_B{B}_{IMPL}"
+TRACE_DIR = f"/tmp/grid_trace_{DATASET}_H{H}_B{B}_{IMPL}{'_noir' if NOIR else ''}"
 
 
 def main():
@@ -37,6 +38,7 @@ def main():
         data["adjacency_matrix"], gen.config["params"],
         gen.config["origin_nodes"], gen.config["destination_nodes"],
         history_window=H, binomial_mode="fast",
+        track_inflow_ring=not NOIR,
     )
     ep = scn.engine_params
     run = jax.jit(lambda ss: simulate_batched(scn, ep, ss, STEPS,

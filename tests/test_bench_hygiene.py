@@ -19,11 +19,31 @@ def test_probe_backend_times_out_bounded(monkeypatch, capsys):
         raise subprocess.TimeoutExpired(cmd, timeout)
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    assert bench.probe_backend(attempts=2, timeout_s=1) is False
+    assert bench.probe_backend(attempts=2, timeout_s=1, backoff_s=0) is False
     assert calls == [1, 1]  # exactly `attempts` bounded probes
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert all(r["row"] == "backend_probe" and r["ok"] is False for r in rows)
     assert len(rows) == 2
+
+
+def test_probe_backend_spaces_retries(monkeypatch, capsys):
+    """Failed attempts are separated by a backoff sleep (wedge windows
+    clear on their own after minutes; back-to-back retries land inside
+    the same window — RUNBOOK.md)."""
+    sleeps = []
+
+    def fake_run(cmd, capture_output, text, timeout):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    assert bench.probe_backend(attempts=3, timeout_s=1, backoff_s=7) is False
+    assert sleeps == [7, 7]  # between attempts, never before the first
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["row"] for r in rows] == [
+        "backend_probe", "backend_probe_backoff",
+        "backend_probe", "backend_probe_backoff", "backend_probe",
+    ]
 
 
 def test_probe_backend_success(monkeypatch, capsys):
@@ -31,7 +51,7 @@ def test_probe_backend_success(monkeypatch, capsys):
         return subprocess.CompletedProcess(cmd, 0, stdout="probe ok 64.0", stderr="")
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    assert bench.probe_backend(attempts=1, timeout_s=1) is True
+    assert bench.probe_backend(attempts=1, timeout_s=1, backoff_s=0) is True
     row = json.loads(capsys.readouterr().out.splitlines()[0])
     assert row["ok"] is True and "init_s" in row
 
