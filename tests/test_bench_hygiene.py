@@ -56,6 +56,29 @@ def test_probe_backend_success(monkeypatch, capsys):
     assert row["ok"] is True and "init_s" in row
 
 
+def test_probe_backend_sigterm_during_backoff_stops(monkeypatch, capsys):
+    """SIGTERM landing in the backoff sleep must abort the probe loop
+    without launching another subprocess."""
+    launches = []
+
+    def fake_run(cmd, capture_output, text, timeout):
+        launches.append(timeout)
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    def stopping_sleep(s):
+        bench._STOP = True
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", stopping_sleep)
+    old = bench._STOP
+    try:
+        bench._STOP = False
+        assert bench.probe_backend(attempts=3, timeout_s=1, backoff_s=5) is False
+        assert launches == [1]  # attempt 2 never launched
+    finally:
+        bench._STOP = old
+
+
 def test_sigterm_sets_drain_flag(capsys):
     old = bench._STOP
     try:
