@@ -56,13 +56,28 @@ def _on_sigterm(signum, frame):
                       "in-flight op, no new work"}), flush=True)
 
 
+def _sleep_interruptible(total_s: float, chunk_s: float = 1.0):
+    """Sleep ``total_s`` in small chunks, checking the SIGTERM drain flag
+    between chunks.  Under PEP 475 a single ``time.sleep(total_s)`` is
+    auto-resumed after the signal handler returns, so a graceful abort
+    landing mid-backoff would otherwise wait out the full backoff before
+    the _STOP check runs — slower than a supervisor's SIGKILL grace
+    period."""
+    t_end = time.time() + total_s
+    while not _STOP:
+        rem = t_end - time.time()
+        if rem <= 0:
+            return
+        time.sleep(min(chunk_s, rem))
+
+
 def emit(row: str, **kv):
     """One JSON evidence line per completed stage, flushed immediately."""
     print(json.dumps({"row": row, **kv}), flush=True)
 
 
 def probe_backend(attempts: int = 3, timeout_s: int = 120,
-                  backoff_s: int = 100) -> bool:
+                  backoff_s: int = 120) -> bool:
     """Bounded out-of-process backend health check.
 
     jax backend init on this host goes through a remote tunnel and can
@@ -78,7 +93,10 @@ def probe_backend(attempts: int = 3, timeout_s: int = 120,
     killed mid-init hangs >150s, while probes launched ~2 min after the
     last kill initialized in 14.5-15.5s and the full bench then ran
     green).  Back-to-back retries land inside the same window; spacing
-    converts the same wall-clock budget into recovery time.
+    converts the same wall-clock budget into recovery time.  The default
+    backoff matches the measured ~2-minute quiet window (round 4 shipped
+    100s and its capture still burned two probe attempts inside the
+    window before the third succeeded).
     """
     code = ("import jax, jax.numpy as jnp; "
             "print('probe ok', float(jnp.ones((8, 8)).sum()), jax.devices())")
@@ -87,7 +105,7 @@ def probe_backend(attempts: int = 3, timeout_s: int = 120,
             return False
         if i > 0 and backoff_s > 0:
             emit("backend_probe_backoff", sleep_s=backoff_s)
-            time.sleep(backoff_s)
+            _sleep_interruptible(backoff_s)
             if _STOP:
                 return False
         t0 = time.time()
@@ -142,7 +160,7 @@ def _timed_runs(run, make_states, n=3, work_per_run=None, target=None,
     return min(times)
 
 
-def bench_melbourne(jax):
+def bench_melbourne(jax, batch=BATCH, target=9.5e5, row="melbourne"):
     from pednstream_tpu.engine import simulate_batched
     from pednstream_tpu.generator import NetworkEnvGenerator
     from pednstream_tpu.scenario import build_scenario
@@ -170,23 +188,23 @@ def bench_melbourne(jax):
         # the reference is pinned by tests/test_stochastic_parity.py;
         # plain "rbg" was rejected for a 425s compile (vs ~15s).
         return jax.vmap(scn.init_state)(
-            jax.random.split(jax.random.key(seed, impl="unsafe_rbg"), BATCH))
+            jax.random.split(jax.random.key(seed, impl="unsafe_rbg"), batch))
 
     # warm-run fence must be a host read of the output: block_until_ready
     # can return on a fire-ahead ack, leaving the warm run queued so the
     # first timed run absorbs it (~2x over-report)
     t0 = time.time()
     _ = float(run(make_states(0)).num_peds.sum())
-    emit("melbourne_compile", s=round(time.time() - t0, 1))
-    best = _timed_runs(run, make_states, work_per_run=STEPS * BATCH,
-                       target=9.5e5)  # retry bar just under the 1.05M
+    emit(f"{row}_compile", s=round(time.time() - t0, 1))
+    best = _timed_runs(run, make_states, work_per_run=STEPS * batch,
+                       target=target)  # retry bar just under the round-4
     # live figure (one-pass ring reduce + unsafe_rbg + untracked inflow
-    # ring, round 4); the BASELINE target itself is 6e5
+    # ring: 1.05M at B=1024); the BASELINE target itself is 6e5
     if best is None:
-        emit("melbourne", aborted="SIGTERM before first timed run")
+        emit(row, aborted="SIGTERM before first timed run")
         return None
-    agg = STEPS * BATCH / best
-    emit("melbourne", env_steps_per_s=round(agg, 0), batch=BATCH,
+    agg = STEPS * batch / best
+    emit(row, env_steps_per_s=round(agg, 0), batch=batch,
          history_window=WINDOW, best_run_s=round(best, 3),
          vs_baseline=round(agg / REFERENCE_MELBOURNE_STEPS_PER_S, 1))
     return agg
@@ -300,6 +318,20 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: the round-4 driver capture spent 610s
+    # compiling melbourne right after a wedge-recovery init (vs ~15s in
+    # every builder-run session — see docs/PERFORMANCE.md §"the 610s
+    # compile").  Caching the serialized executable makes the compile
+    # cost a one-time event per program shape instead of a per-capture
+    # gamble on backend health; probe + bench + re-captures all reuse it.
+    cache_dir = "/tmp/pednstream_xla_cache"
+    import os
+    warm = os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) > 0
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    emit("compile_cache", dir=cache_dir, warm=warm)
+
     agg = bench_melbourne(jax)
     if agg is None:  # SIGTERM before any melbourne evidence
         print(json.dumps({
@@ -311,11 +343,24 @@ def main():
 
     grid10k = grid_b = grid_w = None
     single = None
+    b4096 = None
     if not _STOP:
         try:
             grid10k, grid_b, grid_w = bench_grid(jax)
         except Exception as e:  # keep the headline even if a stage dies
             emit("grid_50x50_error", err=repr(e)[:300])
+    if not _STOP:
+        try:
+            # BASELINE.md's second north star: 4096 vmapped lockstep
+            # replicas on one chip (B=1024 is the single-chip throughput
+            # sweet spot; 4096 demonstrates the capacity point).  Retry
+            # bar just under the measured 997k env-steps/s — aggregate
+            # throughput at B=4096 sits BELOW the B=1024 peak (HBM
+            # working set grows 4x; the row is about capacity, not peak).
+            b4096 = bench_melbourne(jax, batch=4096, target=9.0e5,
+                                    row="melbourne_b4096")
+        except Exception as e:
+            emit("melbourne_b4096_error", err=repr(e)[:300])
     if not _STOP:
         try:
             single = bench_single(jax)
@@ -338,6 +383,8 @@ def main():
                         None if grid10k is None else round(grid10k, 0),
                     "grid_50x50_batch": grid_b,
                     "grid_50x50_history_window": grid_w,
+                    "melbourne_b4096_env_steps_per_s":
+                        None if b4096 is None else round(b4096, 0),
                     "single_replica_melbourne_steps_per_s":
                         None if single is None else round(single, 0),
                 },

@@ -1,3 +1,21 @@
 from .mesh import make_mesh, shard_batch, data_parallel_env_step
+from .link_shard import (
+    link_state_shardings,
+    link_params_shardings,
+    shard_link_state,
+    shard_link_params,
+    make_link_sharded_simulate,
+    make_link_sharded_step,
+)
 
-__all__ = ["make_mesh", "shard_batch", "data_parallel_env_step"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "data_parallel_env_step",
+    "link_state_shardings",
+    "link_params_shardings",
+    "shard_link_state",
+    "shard_link_params",
+    "make_link_sharded_simulate",
+    "make_link_sharded_step",
+]

@@ -11,6 +11,9 @@ Axes:
   ``env``  — environment replicas (data parallelism for rollouts and
              per-agent updates; the natural axis here since the policy
              nets are tiny and the simulation state dominates)
+  ``link`` — the directed-link axis of a SINGLE replica's simulation
+             state (parallel/link_shard.py): the TP analog for networks
+             whose O(E*H) ring state exceeds one chip's HBM
 """
 
 from functools import partial
@@ -23,6 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
+    """1-D device mesh over ``axis`` ('env' for replica DP; 'link' for
+    simulation-state sharding via parallel/link_shard.py)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]

@@ -149,11 +149,14 @@ def build_topology(
         sep_corridors.add((min(a, b), max(a, b)))
 
     # --- corridors and directed links, reference creation order ---
-    corridors: List[Tuple[int, int]] = []
-    for i in range(n):
-        for j in range(i + 1, n):
-            if adj[i, j] == 1:
-                corridors.append((i, j))
+    # (the i<j row-major scan of network.py:199-213, vectorized: np.nonzero
+    # is row-major so the corridor order is identical to the Python loop;
+    # the dense double loop was O(n^2) Python-side and dominated build
+    # time beyond ~5k nodes)
+    ii, jj = np.nonzero(adj == 1)
+    upper = jj > ii
+    ci, cj = ii[upper], jj[upper]
+    corridors = [(int(i), int(j)) for i, j in zip(ci, cj)]
     link_nodes: List[Tuple[int, int]] = []
     for (i, j) in corridors:
         link_nodes.append((i, j))
@@ -162,14 +165,21 @@ def build_topology(
     link_id_to_idx = {uv: e for e, uv in enumerate(link_nodes)}
     reverse_idx = np.array([e ^ 1 for e in range(E)], dtype=np.int32)
 
-    # --- node creation order (first touch in the i<j scan; network.py:199-213) ---
-    created: List[int] = []
-    for i in range(n):
-        if i not in created:
-            created.append(i)
-        for j in range(i + 1, n):
-            if adj[i, j] == 1 and j not in created:
-                created.append(j)
+    # --- node creation order (first touch in the i<j scan; network.py:199-213):
+    # every i enters at its own row; a j>i enters early at its first
+    # adjacent i<j row.  first_row[v] = min(v, first i adjacent from above);
+    # stable-sorting nodes by (first_row, is_the_row_node_itself, j) gives
+    # the exact loop order: at row i, i itself precedes its discovered j's,
+    # which appear in ascending j (row-major corridor order).
+    first_row = np.arange(n, dtype=np.int64)
+    np.minimum.at(first_row, cj, ci)
+    # order key: (first_row, 0 for the row node itself, j) — the row node
+    # has key j = -1 so it sorts before the j's discovered in that row
+    key_j = np.arange(n, dtype=np.int64)
+    is_row_self = first_row == np.arange(n)
+    key_j = np.where(is_row_self, -1, key_j)
+    order = np.lexsort((key_j, first_row))
+    created: List[int] = [int(v) for v in order]
 
     # --- node typing (network.py:141-167) ---
     in_count = adj.sum(axis=0)
@@ -191,9 +201,6 @@ def build_topology(
                 has_virtual[v] = True
 
     # --- incidence: slot 0 = virtual (if any), then neighbours ascending ---
-    neighbors = [sorted(int(m) for m in np.where((adj[v, :] == 1) | (adj[:, v] == 1))[0])
-                 for v in range(n)]
-    # restrict to corridor neighbours (upper-triangle definition)
     corridor_nb: List[List[int]] = [[] for _ in range(n)]
     for (i, j) in corridors:
         corridor_nb[i].append(j)
@@ -210,6 +217,10 @@ def build_topology(
     out_link_idx = -np.ones((n, M), dtype=np.int32)
     slot_valid = np.zeros((n, M), dtype=bool)
     slot_neighbor = -2 * np.ones((n, M), dtype=np.int32)
+    end_node = np.zeros(E, dtype=np.int32)
+    end_slot = np.zeros(E, dtype=np.int32)
+    start_node = np.zeros(E, dtype=np.int32)
+    start_slot = np.zeros(E, dtype=np.int32)
     for v in range(n):
         k = 0
         if has_virtual[v]:
@@ -217,24 +228,30 @@ def build_topology(
             slot_valid[v, 0] = True
             k = 1
         for m in corridor_nb[v]:
-            in_link_idx[v, k] = link_id_to_idx[(m, v)]
-            out_link_idx[v, k] = link_id_to_idx[(v, m)]
+            e_in = link_id_to_idx[(m, v)]
+            e_out = link_id_to_idx[(v, m)]
+            in_link_idx[v, k] = e_in
+            out_link_idx[v, k] = e_out
             slot_neighbor[v, k] = m
             slot_valid[v, k] = True
+            # record the slot inverse maps here instead of an np.where
+            # scan per directed link afterwards (O(E*M) -> O(E))
+            end_node[e_in] = v
+            end_slot[e_in] = k
+            start_node[e_out] = v
+            start_slot[e_out] = k
             k += 1
 
-    end_node = np.zeros(E, dtype=np.int32)
-    end_slot = np.zeros(E, dtype=np.int32)
-    start_node = np.zeros(E, dtype=np.int32)
-    start_slot = np.zeros(E, dtype=np.int32)
-    for e, (u, v) in enumerate(link_nodes):
-        end_node[e] = v
-        start_node[e] = u
-        end_slot[e] = int(np.where(slot_neighbor[v] == u)[0][0])
-        start_slot[e] = int(np.where(slot_neighbor[u] == v)[0][0])
-
     # --- per-link params ---
+    # fast path when no per-corridor overrides exist (synthetic large
+    # grids): every corridor resolves to default_link, so skip the
+    # per-corridor dict merges
+    uniform = not (params.get("links", {}) or {})
+    default_params = params.get("default_link", {}) or {}
+
     def arr(key, default):
+        if uniform:
+            return np.full(E, float(default_params.get(key, default)))
         vals = np.zeros(E, dtype=np.float64)
         for c_idx, (i, j) in enumerate(corridors):
             p = resolve_link_params(params, i, j)
@@ -243,13 +260,20 @@ def build_topology(
 
     fd_codes = np.zeros(E, dtype=np.int32)
     is_sep = np.zeros(E, dtype=bool)
-    for c_idx, (i, j) in enumerate(corridors):
-        p = resolve_link_params(params, i, j)
-        fd_codes[2 * c_idx] = fd_codes[2 * c_idx + 1] = FD_TYPES[p.get("fd_type", "yperman")]
-        link_type = "separator" if (i, j) in sep_corridors else p.get("controller_type", "gate")
+    if uniform and not sep_corridors:
+        fd_codes[:] = FD_TYPES[default_params.get("fd_type", "yperman")]
+        link_type = default_params.get("controller_type", "gate")
         if link_type not in ("separator", "gate"):
             raise ValueError(f"Invalid controller type: {link_type}")
-        is_sep[2 * c_idx] = is_sep[2 * c_idx + 1] = link_type == "separator"
+        is_sep[:] = link_type == "separator"
+    else:
+        for c_idx, (i, j) in enumerate(corridors):
+            p = resolve_link_params(params, i, j)
+            fd_codes[2 * c_idx] = fd_codes[2 * c_idx + 1] = FD_TYPES[p.get("fd_type", "yperman")]
+            link_type = "separator" if (i, j) in sep_corridors else p.get("controller_type", "gate")
+            if link_type not in ("separator", "gate"):
+                raise ValueError(f"Invalid controller type: {link_type}")
+            is_sep[2 * c_idx] = is_sep[2 * c_idx + 1] = link_type == "separator"
 
     link_params = LinkParamArrays(
         length=arr("length", 100.0),

@@ -36,7 +36,7 @@ def test_probe_backend_spaces_retries(monkeypatch, capsys):
         raise subprocess.TimeoutExpired(cmd, timeout)
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    monkeypatch.setattr(bench, "_sleep_interruptible", sleeps.append)
     assert bench.probe_backend(attempts=3, timeout_s=1, backoff_s=7) is False
     assert sleeps == [7, 7]  # between attempts, never before the first
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
@@ -69,12 +69,62 @@ def test_probe_backend_sigterm_during_backoff_stops(monkeypatch, capsys):
         bench._STOP = True
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    monkeypatch.setattr(bench.time, "sleep", stopping_sleep)
+    monkeypatch.setattr(bench, "_sleep_interruptible", stopping_sleep)
     old = bench._STOP
     try:
         bench._STOP = False
         assert bench.probe_backend(attempts=3, timeout_s=1, backoff_s=5) is False
         assert launches == [1]  # attempt 2 never launched
+    finally:
+        bench._STOP = old
+
+
+class _FakeTime:
+    """Deterministic clock: sleep() advances time instead of waiting."""
+
+    def __init__(self):
+        self.now = 0.0
+        self.sleeps = []
+
+    def time(self):
+        return self.now
+
+    def sleep(self, s):
+        self.sleeps.append(s)
+        self.now += s
+
+
+def test_sleep_interruptible_chunks(monkeypatch):
+    """The backoff sleeps in ~1s chunks so a SIGTERM landing mid-backoff
+    is observed within a chunk, not after the full backoff (PEP 475:
+    time.sleep resumes after the handler returns)."""
+    ft = _FakeTime()
+    monkeypatch.setattr(bench, "time", ft)
+    old = bench._STOP
+    try:
+        bench._STOP = False
+        bench._sleep_interruptible(5.0)
+        assert ft.sleeps == [1.0] * 5
+    finally:
+        bench._STOP = old
+
+
+def test_sleep_interruptible_aborts_on_stop(monkeypatch):
+    ft = _FakeTime()
+
+    def sleep_then_stop(s):
+        ft.sleeps.append(s)
+        ft.now += s
+        if len(ft.sleeps) == 2:
+            bench._STOP = True
+
+    ft.sleep = sleep_then_stop
+    monkeypatch.setattr(bench, "time", ft)
+    old = bench._STOP
+    try:
+        bench._STOP = False
+        bench._sleep_interruptible(120.0)
+        assert len(ft.sleeps) == 2  # aborted ~118s early
     finally:
         bench._STOP = old
 
