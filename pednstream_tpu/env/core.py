@@ -70,6 +70,7 @@ class PedNetEnvCore:
         reward_mode: str = "all",
         stochastic: bool = True,
         record: bool = False,
+        global_reward_coef: float = 0.0,
     ):
         if obs_mode not in FEATURES_PER_LINK:
             raise ValueError(
@@ -83,6 +84,7 @@ class PedNetEnvCore:
         self.reward_mode = reward_mode
         self.stochastic = stochastic
         self.record = record
+        self.global_reward_coef = float(global_reward_coef)
         # static normalization constants (rl/builders.py:63-66)
         self.density_norm = 6.0
         self.speed_norm = 1.5
@@ -242,6 +244,19 @@ class PedNetEnvCore:
             rewards = (
                 {first: rewards[first]} if first in rewards else {}
             )
+
+        if self.global_reward_coef > 0.0 and rewards:
+            # Optional delay-aligned shaping (training-time only; every
+            # evaluation env keeps the default 0.0 so eval rewards stay
+            # the reference signal): subtract a small shared multiple of
+            # the TOTAL in-network count.  Summed over engine steps,
+            # in-network count IS total network time (total delay plus
+            # the free-flow constant), so this term lets a local gate
+            # reward see a remote gridlock that its own clamped link
+            # travel times cannot express (docs/RESULTS.md "why the two
+            # axes diverge").
+            g = -self.global_reward_coef * st.num_peds.sum().astype(jnp.float32)
+            rewards = {k: v + g for k, v in rewards.items()}
         return rewards
 
     # -- step/reset ------------------------------------------------------------

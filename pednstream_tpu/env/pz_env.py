@@ -42,6 +42,7 @@ class PedNetParallelEnv(ParallelEnv):
         record_history: bool = False,
         history_window: Optional[int] = None,
         od_randomize: bool = False,
+        global_reward_coef: float = 0.0,
     ):
         super().__init__()
         self.render_mode = render_mode
@@ -69,6 +70,7 @@ class PedNetParallelEnv(ParallelEnv):
         self._reward_mode = reward_mode
         self._stochastic = stochastic
         self._record_history = record_history
+        self._global_reward_coef = global_reward_coef
         self._history = []
 
         self.spec_agents = build_agent_spec(self.scn)
@@ -80,7 +82,7 @@ class PedNetParallelEnv(ParallelEnv):
             self.scn, self.spec_agents, obs_mode=obs_mode,
             normalize_obs=normalize_obs, action_gap=action_gap,
             reward_mode=reward_mode, stochastic=stochastic,
-            record=record_history,
+            record=record_history, global_reward_coef=global_reward_coef,
         )
         self._key = jax.random.PRNGKey(self._seed)
         self._state = None
@@ -121,6 +123,7 @@ class PedNetParallelEnv(ParallelEnv):
             normalize_obs=self.normalize_obs, action_gap=self._action_gap,
             reward_mode=self._reward_mode, stochastic=self._stochastic,
             record=self._record_history,
+            global_reward_coef=self._global_reward_coef,
         )
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):

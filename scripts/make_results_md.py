@@ -56,7 +56,10 @@ def render_dataset(name: str, results: dict) -> str:
         rr = ", ".join(f"run{r['run']}: {r['total_reward']:.0f}" for r in runs)
         extra = ""
         if algo == "optimization" and runs and runs[0].get("wall_s"):
-            extra = (f" (single run — the DE inner optimizer costs "
+            n = len(runs)
+            protocol = ("single run" if n == 1
+                        else f"full {n}-run paired protocol")
+            extra = (f" ({protocol} — the DE inner optimizer costs "
                      f"{runs[0]['wall_s']:.0f}s wall per episode)")
         bad = [r["run"] for r in runs
                if nc.get(r["run"], 0) < 0
@@ -116,13 +119,31 @@ def summarize_wins(all_results: dict) -> list:
     return lines
 
 
+def _eval_paths():
+    """One results.json per dataset.  Durable copies live in
+    artifacts/eval/<dataset>/ (tracked — outputs/ is scratch and does
+    not survive between sessions; regenerating the doc from outputs/
+    alone silently DROPS every dataset whose eval was not re-run this
+    session).  A fresher outputs/eval_<dataset>/results.json overrides
+    the durable copy; train_zoo.evaluate_zoo writes both."""
+    paths = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "artifacts", "eval",
+                                              "*", "results.json"))):
+        paths[os.path.basename(os.path.dirname(path))] = path
+    for path in sorted(glob.glob(os.path.join(REPO, "outputs", "eval_*",
+                                              "results.json"))):
+        paths[os.path.basename(os.path.dirname(path))[len("eval_"):]] = path
+    return [paths[k] for k in sorted(paths)]
+
+
 def main():
     sections = []
     curves = []
     all_results = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "outputs", "eval_*",
-                                              "results.json"))):
-        name = os.path.basename(os.path.dirname(path))[len("eval_"):]
+    for path in _eval_paths():
+        name = os.path.basename(os.path.dirname(path))
+        if name.startswith("eval_"):
+            name = name[len("eval_"):]
         with open(path) as f:
             results = json.load(f)
         all_results[name] = results
@@ -131,9 +152,10 @@ def main():
             # policy; borrow the baselines from 45_intersections (a
             # byte-identical dataset, same paired eval seeds) so the
             # summary can rank it
-            base_path = os.path.join(os.path.dirname(os.path.dirname(path)),
-                                     "eval_45_intersections", "results.json")
-            if os.path.exists(base_path):
+            base_path = next((p for p in _eval_paths()
+                              if "45_intersections" in p
+                              and "lstm" not in p), None)
+            if base_path:
                 with open(base_path) as f:
                     base = json.load(f)
                 merged = dict(results)
@@ -150,7 +172,9 @@ def main():
             name = ("45_intersections — lstm_ppo family variant "
                     "(reference rl/lstm_ppo_agents_45_intersections)")
         sections.append(render_dataset(name, results))
-        base = os.path.basename(os.path.dirname(path))[len("eval_"):]
+        base = os.path.basename(os.path.dirname(path))
+        if base.startswith("eval_"):
+            base = base[len("eval_"):]
         cj = os.path.join(REPO, "artifacts", "zoo", f"ppo_agents_{base}",
                           "curve.json")
         if os.path.exists(cj):
@@ -216,19 +240,28 @@ strictly better reward than BOTH no-control and rule-based:
 
 {wins}
 
-**Headline: gating decisively matters on `metered_corridor`.** The
-bundled gater scenarios are structurally open-optimal (front-gate
-cross-coupling, below), so round 4 authored a scenario where metering
-provably wins: a funnel whose demand bursts overload an ungated
-bottleneck behind a gated feeder, exploiting the engine's
-jam-discharge collapse (a jammed link drains ~10x below its gate
-capacity — data/metered_corridor/sim_params.yaml documents the
-physics, and a golden fixture pins the geometry to the reference
-engine bit-for-bit).  BOTH trained policies beat BOTH baselines on
-EVERY paired run: SAC (600-iteration batched trainer) +66-67% total
-reward vs no-control and +22-25% vs the rule-based gater; PPO +61-65%
-and +10-21% — while serving at least as many trips; the MPC baseline
-trails both.  Full closure is the WORST policy on this scenario by
+**Headline: gating decisively matters on `metered_corridor`, and
+trained RL wins BOTH axes against EVERY baseline.** The bundled gater
+scenarios are structurally open-optimal (front-gate cross-coupling,
+below), so round 4 authored a scenario where metering provably wins: a
+funnel whose demand bursts overload an ungated bottleneck behind a
+gated feeder, exploiting the engine's jam-discharge collapse (a jammed
+link drains ~10x below its gate capacity —
+data/metered_corridor/sim_params.yaml documents the physics, and a
+golden fixture pins the geometry to the reference engine bit-for-bit).
+Under the identical 3-run paired protocol for ALL policies (round 5
+re-ran the MPC baseline under the full protocol; its round-4 row was a
+single nominal run, not comparable to 3-run means), both trained
+policies beat every baseline — no-control, rule-based, AND the MPC
+optimizer — on total reward AND network-wide total delay ON EVERY
+PAIRED RUN, at equal-or-better served trips: SAC reward -114,507 /
+delay 3.06M / served 0.760 and PPO -123,072 / 3.16M / 0.760, vs MPC
+-298,789 / 3.70M / 0.755, rule-based -148,066 / 4.24M / 0.750,
+no-control -341,818 / 3.85M / 0.760 (per-run: SAC delay 0.79M/4.16M/
+4.22M vs MPC 1.74M/4.70M/4.67M).  The round-4 caveat "MPC wins the
+delay axis" dissolved under pairing: MPC's apparent 1.72M-delay win
+was its nominal-world run alone — where SAC posts 0.79M and PPO 1.03M,
+both better.  Full closure is the WORST policy on this scenario by
 construction (the plaza jams), so the reward cannot be gamed by
 refusing service.
 

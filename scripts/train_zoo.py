@@ -55,6 +55,13 @@ OD_RANDOMIZE = {"metered_corridor"}
 # (every candidate was refused by the no-regress gates).
 ACTION_SCALE: dict = {}
 
+# per-dataset TRAINING-time delay-aligned reward shaping
+# (env/core.py global_reward_coef: a small shared -coef * total
+# in-network count term; evaluation envs always use 0.0 so eval rewards
+# stay the reference signal).  Populated per scripts/
+# ablate_global_reward.py results — see docs/RESULTS.md.
+GLOBAL_REWARD_COEF: dict = {}
+
 
 def _max_delta(dataset: str, gate_widths) -> float:
     if dataset in ACTION_SCALE:
@@ -104,7 +111,9 @@ def train_ppo(dataset: str, action_gap: int, iterations: int,
               flush=True)
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
                             action_gap=action_gap, history_window=64,
-                            od_randomize=dataset in OD_RANDOMIZE)
+                            od_randomize=dataset in OD_RANDOMIZE,
+                            global_reward_coef=GLOBAL_REWARD_COEF.get(
+                                dataset, 0.0))
     # open-anchored gate actions: absolute target = full-open + learned
     # offset (integrator-free; a zero policy IS no-control).  The offset
     # range must cover full closure, so max_delta = the widest gate.
@@ -339,7 +348,9 @@ def train_sac_batched(dataset: str, action_gap: int, iterations: int = 300,
 
     env = PedNetParallelEnv(dataset, obs_mode="option2", seed=seed,
                             action_gap=action_gap, history_window=64,
-                            od_randomize=dataset in OD_RANDOMIZE)
+                            od_randomize=dataset in OD_RANDOMIZE,
+                            global_reward_coef=GLOBAL_REWARD_COEF.get(
+                                dataset, 0.0))
     mesh = None
     if use_mesh:
         from pednstream_tpu.parallel import make_mesh
@@ -509,16 +520,28 @@ def evaluate_zoo(dataset: str, action_gap: int, ppo_dir: str,
         # the MPC baseline controls GATES only (reference
         # optimization_based.py has no separator support); long_corridor
         # is separator-only, so an MPC row there would duplicate
-        # no_control
+        # no_control.  Same num_runs as every other policy: the paired
+        # protocol (run 0 nominal, runs 1+ randomized, same seeds) is
+        # what makes the cross-policy comparison honest — a single-run
+        # MPC row is not comparable to 3-run means (round-4 lesson).
         t_mpc = time.time()
-        mpc = evaluate_agents(dataset, ["optimization"], num_runs=1,
+        mpc = evaluate_agents(dataset, ["optimization"], num_runs=num_runs,
                               output_dir=out_dir, obs_mode="option2",
                               action_gap=action_gap)
-        for row in mpc.get("optimization", []):
-            row["wall_s"] = round(time.time() - t_mpc, 1)
+        rows = mpc.get("optimization", [])
+        for row in rows:
+            row["wall_s"] = round((time.time() - t_mpc) / max(len(rows), 1), 1)
         results.update(mpc)
     table = summarize(results)
     with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    # durable copy: outputs/ is scratch and does not survive between
+    # sessions; scripts/make_results_md.py regenerates the doc from
+    # artifacts/eval/ (tracked) with outputs/ taking precedence when
+    # fresher
+    durable = os.path.join(os.path.dirname(ART), "eval", dataset)
+    os.makedirs(durable, exist_ok=True)
+    with open(os.path.join(durable, "results.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     with open(os.path.join(out_dir, "table.txt"), "w") as f:
         f.write(table + "\n")

@@ -38,4 +38,8 @@ def x64():
 
 
 def pytest_configure(config):
+    # markers are declared in pytest.ini; re-registering here keeps
+    # direct `pytest tests/test_x.py` invocations from warning when the
+    # ini is not picked up (e.g. copied-out test files)
     config.addinivalue_line("markers", "slow: long-running test")
+    config.addinivalue_line("markers", "xslow: very long-running test")

@@ -137,7 +137,7 @@ def _grid_adjacency(n: int) -> np.ndarray:
     return adj
 
 
-@pytest.mark.slow
+@pytest.mark.xslow  # ~40s: builds + compiles a 108k-link network
 def test_link_sharded_100k_link_grid():
     """The blueprint's motivating scale (SURVEY §2.6: '10k+-link
     networks'; VERDICT r4 asks ~100k): a synthetic 165x165 grid with

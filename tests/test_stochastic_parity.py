@@ -84,16 +84,18 @@ def _ref_runs():
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
-@pytest.mark.slow
 @pytest.mark.parametrize("binomial_mode,prng_impl", [
-    ("exact", "threefry2x32"),
-    ("fast", "threefry2x32"),
+    # the exact-sampler variant costs ~40s alone (rejection sampling on
+    # CPU); the two fast-path variants below pin the same distributional
+    # claims on the shipped configuration, so exact rides the xslow tier
+    pytest.param("exact", "threefry2x32", marks=pytest.mark.xslow),
+    pytest.param("fast", "threefry2x32", marks=pytest.mark.slow),
     # unsafe_rbg is the bench/trainer fast path on TPU: random bits come
     # from the hardware RngBitGenerator op instead of ~15 VPU ops/word of
     # threefry (live-chip: melbourne 725k -> 898k env-steps/s).  "unsafe"
     # refers to split/fold_in key-derivation rigor, not bit quality; this
     # case pins its distributional parity with the reference.
-    ("fast", "unsafe_rbg"),
+    pytest.param("fast", "unsafe_rbg", marks=pytest.mark.slow),
 ])
 def test_stochastic_distribution_parity(binomial_mode, prng_impl):
     ours_arr, ours_dens = _our_runs(binomial_mode, prng_impl)

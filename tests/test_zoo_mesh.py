@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 import train_zoo  # noqa: E402
 
 
-@pytest.mark.slow
+@pytest.mark.xslow  # end-to-end sharded training run, ~1 min on this host
 def test_train_zoo_mesh_ppo(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(train_zoo, "ART", str(tmp_path))
     out = train_zoo.train_ppo("butterfly_scC", action_gap=15, iterations=2,
@@ -28,7 +28,7 @@ def test_train_zoo_mesh_ppo(tmp_path, monkeypatch, capsys):
     assert any(f.endswith(".pkl") for f in os.listdir(out))
 
 
-@pytest.mark.slow
+@pytest.mark.xslow  # end-to-end sharded SAC run, ~3-5 min on this host
 def test_train_zoo_mesh_sac(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(train_zoo, "ART", str(tmp_path))
     out = train_zoo.train_sac_batched("butterfly_scC", action_gap=15,
