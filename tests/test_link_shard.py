@@ -95,6 +95,34 @@ def test_link_sharded_bitexact_tiny(stochastic):
     _assert_states_bitequal(ref, out)
 
 
+def test_link_sharded_step_interactive_control():
+    """make_link_sharded_step: the RL-control stepping path — mutate the
+    gate surface between sharded steps (as a controller would), outputs
+    must stay sharded and match the unsharded engine bitwise."""
+    from pednstream_tpu.engine import step_fn
+    from pednstream_tpu.parallel import make_link_sharded_step
+
+    scn = _tiny_controller_scenario()
+    ep = scn.engine_params
+    mesh = make_mesh(8, axis="link")
+    step_sh = make_link_sharded_step(scn, mesh, stochastic=False)
+    ref_step = jax.jit(
+        lambda e, s: step_fn(scn, e, s, stochastic=False, record=False)[0]
+    )
+
+    st_ref = scn.init_state(jax.random.PRNGKey(2))
+    st_sh = shard_link_state(st_ref, mesh)
+    for i in range(6):
+        if i == 3:  # half-close every gate mid-run
+            new_gate = (st_ref.back_gate * 0.5).astype(st_ref.back_gate.dtype)
+            st_ref = st_ref.replace(back_gate=new_gate)
+            st_sh = shard_link_state(st_sh.replace(back_gate=new_gate), mesh)
+        st_ref = ref_step(ep, st_ref)
+        st_sh = step_sh(ep, st_sh)
+    assert st_sh.cum_in_ring.sharding.spec == P(None, "link")
+    _assert_states_bitequal(st_ref, st_sh)
+
+
 @pytest.mark.slow
 def test_link_sharded_bitexact_real_dataset_with_routing():
     """two_coordinators (49 nodes, 168 directed links, routed turning
