@@ -1,4 +1,4 @@
-from .mesh import make_mesh, shard_batch, data_parallel_env_step
+from .mesh import make_mesh, make_mesh_2d, shard_batch, data_parallel_env_step
 from .link_shard import (
     link_state_shardings,
     link_params_shardings,
@@ -6,10 +6,14 @@ from .link_shard import (
     shard_link_params,
     make_link_sharded_simulate,
     make_link_sharded_step,
+    hybrid_state_shardings,
+    shard_hybrid_state,
+    make_hybrid_sharded_simulate,
 )
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "shard_batch",
     "data_parallel_env_step",
     "link_state_shardings",
@@ -18,4 +22,7 @@ __all__ = [
     "shard_link_params",
     "make_link_sharded_simulate",
     "make_link_sharded_step",
+    "hybrid_state_shardings",
+    "shard_hybrid_state",
+    "make_hybrid_sharded_simulate",
 ]

@@ -146,6 +146,57 @@ def make_link_sharded_step(scn, mesh: Mesh, stochastic: bool = False,
     return step
 
 
+def hybrid_state_shardings(mesh: Mesh, env_axis: str = "env",
+                           link_axis: str = "link") -> NetworkState:
+    """Shardings for a BATCHED NetworkState (leading replica axis) on a
+    2-D mesh (parallel/mesh.py make_mesh_2d): replicas block over
+    ``env`` (pure DP — rollouts never communicate across it), each
+    replica's link axis blocks over ``link`` (the per-step node exchange
+    rides the fast axis).  The pod-scale layout from SURVEY §2.6: DP
+    over DCN x state-sharding over ICI, in one SPMD program."""
+    ring = NamedSharding(mesh, P(env_axis, None, link_axis))  # [B, H, E]
+    vec = NamedSharding(mesh, P(env_axis, link_axis))  # [B, E]
+    b = NamedSharding(mesh, P(env_axis))  # [B] and [B, N]
+    return NetworkState(
+        t=b, key=b,
+        cum_in_ring=ring, cum_out_ring=ring, inflow_ring=ring, tt_ring=ring,
+        cum_in=vec, cum_out=vec, inflow=vec, outflow=vec,
+        num_peds=vec, density=vec, speed=vec, travel_time=vec,
+        link_flow=vec, avg_tt=vec, tt_run_sum=vec,
+        sending_prev=vec, recv_prev=vec,
+        back_gate=vec, sep_width=vec,
+        virt_dep=b, virt_arr=b, virt_dep_cum=b, virt_arr_cum=b,
+    )
+
+
+def shard_hybrid_state(states: NetworkState, mesh: Mesh,
+                       env_axis: str = "env",
+                       link_axis: str = "link") -> NetworkState:
+    return jax.device_put(states,
+                          hybrid_state_shardings(mesh, env_axis, link_axis))
+
+
+def make_hybrid_sharded_simulate(scn, mesh: Mesh, num_steps: int,
+                                 stochastic: bool = False,
+                                 env_axis: str = "env",
+                                 link_axis: str = "link"):
+    """Jitted ``(ep, batched_states) -> final_batched_states`` with the
+    replica axis sharded over ``env`` and the link axis over ``link``
+    (semantics of ``engine.simulate_batched``; shared unbatched
+    EngineParams, link-sharded as in the 1-D path)."""
+    from ..engine import simulate_batched
+
+    st_sh = hybrid_state_shardings(mesh, env_axis, link_axis)
+    ep_sh = link_params_shardings(mesh, link_axis)
+
+    @partial(jax.jit, in_shardings=(ep_sh, st_sh), out_shardings=st_sh)
+    def run(ep: EngineParams, states: NetworkState) -> NetworkState:
+        return simulate_batched(scn, ep, states, num_steps,
+                                stochastic=stochastic)
+
+    return run
+
+
 def assert_no_full_ring_collectives(compiled, ring_bytes: int) -> Tuple[int, int]:
     """Scan optimized HLO for collectives materializing a full-size ring.
 

@@ -34,6 +34,26 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(n_env: int, n_link: int,
+                 axes: tuple = ("env", "link")) -> Mesh:
+    """2-D mesh for the hybrid decomposition: replica DP on the first
+    axis x link-state sharding on the second (parallel/link_shard.py
+    hybrid_* helpers).
+
+    Axis ordering follows the standard device-mesh recipe: the
+    LAST-NAMED axis varies fastest over the device list, so on real
+    hardware the link axis (which carries the per-step node-exchange
+    collectives) maps to adjacent chips (ICI) while the env axis (pure
+    DP, no rollout communication) spans the slower links / DCN.  On the
+    virtual CPU mesh the layout is only a shape.
+    """
+    devs = jax.devices()
+    n = n_env * n_link
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(n_env, n_link), axes)
+
+
 def shard_batch(tree, mesh: Mesh, axis: str = "env"):
     """Place a batched pytree with its leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis))

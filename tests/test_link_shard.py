@@ -152,6 +152,41 @@ def test_link_sharded_bitexact_real_dataset_with_routing():
     _assert_states_bitequal(ref, out)
 
 
+@pytest.mark.parametrize("stochastic", [False, True])
+def test_hybrid_env_x_link_sharding_bitexact(stochastic):
+    """2-D mesh (env=2 x link=4): replicas block over the DP axis, each
+    replica's link axis blocks over the fast axis — the SURVEY §2.6
+    pod-scale layout (DP over DCN x state over ICI) in one SPMD program.
+    Must equal the unsharded batched engine BITWISE."""
+    from pednstream_tpu.engine import simulate_batched
+    from pednstream_tpu.parallel import (
+        make_hybrid_sharded_simulate, make_mesh_2d, shard_hybrid_state,
+    )
+
+    scn = _tiny_controller_scenario()
+    ep = scn.engine_params
+    B, steps = 4, 25
+    states = jax.vmap(scn.init_state)(
+        jax.random.split(jax.random.PRNGKey(3), B))
+
+    ref = jax.jit(  # ep as argument: see the tiny test above
+        lambda e, s: simulate_batched(scn, e, s, steps,
+                                      stochastic=stochastic)
+    )(ep, states)
+
+    mesh = make_mesh_2d(2, 4)
+    run = make_hybrid_sharded_simulate(scn, mesh, steps,
+                                       stochastic=stochastic)
+    out = run(ep, shard_hybrid_state(states, mesh))
+
+    assert out.cum_in_ring.sharding.spec == P("env", None, "link")
+    assert len(out.density.sharding.device_set) == 8
+    # per-device shard = (B/2, H, E/4)
+    shard = out.cum_in_ring.addressable_shards[0]
+    assert shard.data.shape == (B // 2, scn.H, scn.n_links // 4)
+    _assert_states_bitequal(ref, out)
+
+
 def _grid_adjacency(n: int) -> np.ndarray:
     """n x n 4-neighbour grid adjacency (int8, vectorized build)."""
     N = n * n
