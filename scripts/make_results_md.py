@@ -299,60 +299,69 @@ both better.  Full closure is the WORST policy on this scenario by
 construction (the plaza jams), so the reward cannot be gamed by
 refusing service.
 
-**Why the two axes diverge — and why delay is the axis that matters on
-the coordinator scenarios.** The reward is the reference's training
-signal: each gate is paid -(T_fwd + T_rev) over ITS OWN links only,
-with travel time clamped at the engine's jam value (env/core.py
-`_rewards`); a gridlocked link elsewhere in the network is invisible to
-it. Total delay is the offline metric: person-seconds of delay summed
-over EVERY link, unclamped. On two_coordinators / 45_intersections the
-trained policies prevent a genuine network collapse the reward cannot
-see: in the nominal world the uncontrolled run drives link 32-25 to a
-standstill (max link travel time 1,453,643 s, 3,814 pedestrians still
-in-network at the horizon), while the SAC-gated run keeps it moving
-(max link travel time 29,294 s, 1,469 left in-network, MORE trips
-served — run-0 throughput 0.942 vs 0.897, network avg travel time 50 s
-vs 222 s) — a 7x run-0 total-delay reduction (1.71M vs 12.26M
-person-seconds) that shows up as less than 0.5% of reward because the
-jammed link is not a gate link and the clamp bounds what the reward can
-express. These delay wins are the repo's strongest RL result; the
-reward axis alone would mislabel them as ties.
+**Why the two axes can diverge — and why both are reported.** The
+reward is the reference's training signal: each gate is paid
+-(T_fwd + T_rev) over ITS OWN links only, with travel time clamped at
+the engine's jam value (env/core.py `_rewards`); a gridlocked link
+elsewhere in the network is nearly invisible to it. Total delay is the
+offline metric: person-seconds of delay summed over EVERY link,
+unclamped. On the coordinator scenarios (two_coordinators /
+45_intersections, byte-identical datasets) the nominal world sits near
+a jam bifurcation: uncontrolled, link 31-32 collapses to a standstill
+(max link travel time 1,682,216 s, 3,596 pedestrians still in-network
+at the horizon, network avg travel time 116 s), while the gated runs
+keep it moving — shipped PPO posts max link travel time 2,730 s, 1,430
+left in-network, avg travel time 47 s, throughput 0.937 vs 0.901 — a
+2.3x run-0 total-delay reduction (1.59M vs 3.73M person-seconds) that
+the clamped local reward prices at under 4% (-258,990 vs -268,916).
+Trained RL beats ALL baselines on BOTH axes here too (PPO mean reward
+-266,289 / delay 559k vs MPC -268,770 / 610k, rule-based -269,094 /
+1.27M, no-control -269,598 / 1.27M).  Because the collapse is a
+bifurcation, WHICH checkpoint catches it is sample-path sensitive: a
+perf-motivated round-4 change to the stochastic fast path moved the
+nominal-world jam from link 32-25 to 31-32 and swapped which trained
+family posts the bigger delay win (SAC in the round-4 tables, PPO
+here), while every reward moved <0.5%.  metered_corridor — where the
+RL win reproduces on every paired run — is the headline scenario for
+exactly this reason.
 
-**Why PPO's shipped checkpoints miss the gridlock prevention SAC finds —
-a controlled ablation (round 5).** Three 100-iteration PPO runs on
-two_coordinators under the identical paired protocol
-(scripts/ablate_global_reward.py; artifacts/eval/ablations/
-two_coordinators_ppo.json): (a) a FRESH SEED of the exact zoo
-configuration posts network delay **770,965** — an 81% reduction vs
-no-control's 4.12M and nearly SAC-class (598k), proving the
-gridlock-prevention behavior IS reachable by the on-policy family with
-no algorithmic change; (b) the delay-aligned training reward
-(global_reward_coef=0.1) also finds it (delay 1.35M, -67%), confirming
-the shaped signal injects the missing information but adding nothing
-over the lucky plain seed here; (c) DOUBLING the GAE window
+**The PPO-vs-SAC delay split is checkpoint-selection noise, not
+reachability — a controlled ablation (round 5).** Round 4 observed
+shipped SAC preventing the coordinator-scenario gridlock while shipped
+PPO missed it; on the current engine's sample path the roles have
+swapped (PPO 1.59M run-0 delay vs SAC 2.21M; both prevent the 3.73M
+no-control collapse).  Three 100-iteration PPO runs on two_coordinators
+under the identical paired protocol (scripts/ablate_global_reward.py;
+artifacts/eval/ablations/two_coordinators_ppo.json) explain the
+instability: (a) a FRESH SEED of the exact zoo configuration posts
+network delay **770,965** — same class as the shipped checkpoints,
+proving the gridlock-prevention behavior is reachable by the on-policy
+family with no algorithmic change; (b) the delay-aligned training
+reward (`global_reward_coef=0.1`, env/core.py — a small shared penalty
+on total in-network count, whose engine-step sum IS total network time)
+also finds it (delay 1.35M), confirming the shaped signal injects the
+information the clamped local reward hides; (c) DOUBLING the GAE window
 (rollout_len 64) is strictly worse at the matched iteration budget
 (run-0 collapse to -975k reward, delay 12.8M) — the horizon is not the
-binding constraint at this budget.  The root cause is therefore
-SELECTION, not reachability: the delay-preventing seed's mean reward
-(-289,122) is ~8.5% WORSE than the shipped reward-selected checkpoint's
-(-266,612), because the reward axis prices the prevented gridlock at
-<0.5% (the clamp, above) while charging the prevention's local cost in
-full — a reward-validated no-regress gate will refuse every
-delay-preventing candidate.  This quantifies the axis divergence: the
-PPO-vs-SAC delay split on the coordinator scenarios is an artifact of
-WHICH axis selects checkpoints, not of what PPO can learn.
+binding constraint.  The mechanism: the clamp prices a prevented
+gridlock at a few percent of reward while charging the prevention's
+full local cost, so reward-validated selection is near-indifferent
+between catching and missing the collapse — which axis a given seed
+lands on is noise.  For delay-critical training the validated fix is
+`global_reward_coef`.
 
 On **long_corridor** (the one bundled Separator scenario), a fixed-split
 sweep on the nominal world scores 1.5/1.75/2.0/2.25/2.5 m forward-width
 at -648k/-163k/-135k/-438k/-1567k: the mid split is the best STATIC
 policy, so the headroom for control is only the time-varying remainder —
-the trained separator captures it (beating mid-split no-control) and
-the reactive EMA rule-based allocator is 3x worse than either.
+the trained separator captures it — PPO beats every baseline on both
+axes (+2.4% reward, -46% network delay vs no-control) — and the
+reactive EMA rule-based allocator is 2.3x worse than either.
 The long_corridor SAC row is CONVERGED, not under-trained: a round-4
 retrain at 2x the gradient budget (600 iterations, --skip-ppo) produced
 a best-validation snapshot scoring exactly the shipped checkpoint's
--149,972 — the -4.2% reward gap vs no-control is this trainer's plateau
-on the separator task (PPO remains the winning family there).
+validation reward — the ~-4% reward gap vs no-control is this trainer's
+plateau on the separator task (PPO remains the winning family there).
 
 Two structural findings behind these numbers (docs/PARITY.md):
 a gate width throttles BOTH directions of its corridor at the gater
@@ -378,6 +387,18 @@ mean) — a phase artifact, not a decline: grouped by its 15-iteration
 phase period, the policy improves in every loaded phase (e.g. the
 heaviest burst window trains -42,838 -> -34,508; the two empty-network
 phases are flat at ~-12k), phase-controlled improvement +5,013.
+
+metered_corridor's 18k engine-steps/s PPO row is scenario SHAPE, not a
+training-hardware artifact: at action_gap 5 an iteration carries only
+20,480 engine steps (vs 61,440 at the siblings' action_gap 15), and a
+round-5 retrain at the identical budget on the live TPU chip reproduced
+the per-iteration wall clock (120 iterations in 133 s vs the shipped
+curve's 180 s).  Both round-5 retrain candidates (PPO, and batched SAC
+at the same 600-iteration budget) were REFUSED by the same-protocol
+no-regress gate — the shipped checkpoints validate better — and are
+preserved next to the shipped dirs as
+`artifacts/zoo/ppo_agents_metered_corridor.candidate` and
+`artifacts/zoo/sac_agents_metered_corridor.candidate`.
 
 {curves}
 
