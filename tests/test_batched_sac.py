@@ -111,7 +111,7 @@ def test_exported_actor_params_match_trainer(trained, tmp_path):
         want, got)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_separator_scenario_trains_and_exports(tmp_path):
     from pednstream_tpu.env import PedNetParallelEnv
     from pednstream_tpu.rl.batched_sac import BatchedSACTrainer

@@ -268,7 +268,7 @@ def test_batched_ppo_trainer():
     assert diff > 0
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_batched_ppo_recurrent_randomized():
     """The reference's default attention-LSTM family trained through the
     batched TPU path (PPO_backup.py:597-760 via rl/networks.py), with

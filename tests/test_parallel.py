@@ -149,7 +149,7 @@ def test_mesh_sharded_batched_ppo_matches_unsharded(core):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_mesh_sharded_batched_sac_matches_unsharded(core):
     from pednstream_tpu.rl.batched_sac import BatchedSACTrainer
 
