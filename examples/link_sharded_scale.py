@@ -29,8 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # sitecustomize in some images pins JAX_PLATFORMS=axon, so the env var
 # alone is not reliable)
 _CPU_MESH = 0
-if "--cpu-mesh" in sys.argv:
-    _CPU_MESH = int(sys.argv[sys.argv.index("--cpu-mesh") + 1])
+for _i, _a in enumerate(sys.argv):
+    if _a.startswith("--cpu-mesh="):  # '--cpu-mesh=8' form
+        _CPU_MESH = int(_a.split("=", 1)[1])
+    elif _a == "--cpu-mesh":  # '--cpu-mesh 8' form
+        if _i + 1 >= len(sys.argv):
+            sys.exit("--cpu-mesh needs a device count (e.g. --cpu-mesh 8)")
+        _CPU_MESH = int(sys.argv[_i + 1])
+if _CPU_MESH:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={_CPU_MESH}")
@@ -41,18 +47,6 @@ import jax
 
 if _CPU_MESH:
     jax.config.update("jax_platforms", "cpu")
-
-
-def grid_adjacency(n: int) -> np.ndarray:
-    N = n * n
-    idx = np.arange(N, dtype=np.int64).reshape(n, n)
-    h = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1)
-    v = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], axis=1)
-    edges = np.concatenate([h, v], axis=0)
-    adj = np.zeros((N, N), dtype=np.int8)
-    adj[edges[:, 0], edges[:, 1]] = 1
-    adj[edges[:, 1], edges[:, 0]] = 1
-    return adj
 
 
 def main():
@@ -74,10 +68,11 @@ def main():
         p.error(f"{ndev} device(s) visible — sharding needs a mesh; "
                 "pass --cpu-mesh 8 for a virtual one")
 
+    from pednstream_tpu.config import grid_adjacency
     from pednstream_tpu.scenario import build_scenario
 
     n, N = args.n, args.n * args.n
-    adj = grid_adjacency(n)
+    adj = grid_adjacency(n, n)
     params = {
         "simulation_steps": args.steps + 1,
         "unit_time": 10,

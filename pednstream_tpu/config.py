@@ -21,8 +21,9 @@ def grid_adjacency(rows: int, cols: int) -> np.ndarray:
     idx = np.arange(n).reshape(rows, cols)
     right = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1)
     down = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], axis=1)
-    for a, b in np.concatenate([right, down]):
-        adj[a, b] = adj[b, a] = 1
+    edges = np.concatenate([right, down])
+    adj[edges[:, 0], edges[:, 1]] = 1
+    adj[edges[:, 1], edges[:, 0]] = 1
     return adj
 
 

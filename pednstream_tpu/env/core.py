@@ -84,6 +84,11 @@ class PedNetEnvCore:
         self.reward_mode = reward_mode
         self.stochastic = stochastic
         self.record = record
+        if global_reward_coef < 0.0:
+            # the shaping term is SUBTRACTED (-coef * total in-network
+            # count); a mis-signed coef would silently train unshaped
+            raise ValueError(
+                f"global_reward_coef must be >= 0, got {global_reward_coef}")
         self.global_reward_coef = float(global_reward_coef)
         # static normalization constants (rl/builders.py:63-66)
         self.density_norm = 6.0

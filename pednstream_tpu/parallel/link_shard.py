@@ -211,21 +211,33 @@ def assert_no_full_ring_collectives(compiled, ring_bytes: int) -> Tuple[int, int
     hlo = compiled.as_text()
     n_coll = 0
     bad = []
+    itemsizes = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1,
+                 "bf16": 2, "f16": 2, "s64": 8, "u64": 8}
+    coll_re = re.compile(r"\b(?:all-gather|all-reduce|reduce-scatter"
+                         r"|collective-permute|all-to-all)"
+                         r"(?:-start|-done)?\(")
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
     for line in hlo.splitlines():
         line_s = line.strip()
-        m = re.match(r".*= *(\w+\[[^\]]*\])[^=]*\b(all-gather|all-reduce"
-                     r"|collective-permute|all-to-all)\b", line_s)
+        if "=" not in line_s:
+            continue
+        lhs, rhs = line_s.split("=", 1)
+        m = coll_re.search(rhs)
         if not m:
             continue
         n_coll += 1
-        shape = m.group(1)
-        dims = re.findall(r"\d+", shape.split("[", 1)[1])
-        dt = shape.split("[", 1)[0]
-        itemsize = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1,
-                    "bf16": 2, "f16": 2, "s64": 8, "u64": 8}.get(dt, 4)
-        nbytes = itemsize * int(np.prod([int(d) for d in dims])) if dims else 0
-        if nbytes >= ring_bytes:
-            bad.append(line_s[:200])
+        # the result shape sits between '=' and the op name: a single
+        # array 'f32[16,8]{1,0}' or — for the combiner passes' variadic
+        # collectives — a TUPLE '(f32[16,8], f32[8])'; check every
+        # member shape, since a full ring hidden inside a combined
+        # all-reduce still voids the claim
+        for dt, dims_s in shape_re.findall(rhs[:m.start()]):
+            dims = [int(d) for d in dims_s.split(",") if d]
+            itemsize = itemsizes.get(dt, 4)
+            nbytes = itemsize * int(np.prod(dims)) if dims else 0
+            if nbytes >= ring_bytes:
+                bad.append(line_s[:200])
+                break
     if bad:
         raise AssertionError(
             "collective(s) materialize a full ring — link sharding "

@@ -113,8 +113,9 @@ def main():
             row = {"dataset": args.dataset, "coef": coef, "rollout_len": T,
                    "iters": iters,
                    "train_reward_start": curve[0]["reward"],
-                   "train_reward_last10": sum(c["reward"]
-                                              for c in curve[-10:]) / 10,
+                   "train_reward_last10": (sum(c["reward"]
+                                               for c in curve[-10:])
+                                           / len(curve[-10:])),
                    **scores}
             rows.append(row)
             print("ABLATE " + json.dumps(row), flush=True)

@@ -132,7 +132,13 @@ def _eval_paths():
         paths[os.path.basename(os.path.dirname(path))] = path
     for path in sorted(glob.glob(os.path.join(REPO, "outputs", "eval_*",
                                               "results.json"))):
-        paths[os.path.basename(os.path.dirname(path))[len("eval_"):]] = path
+        name = os.path.basename(os.path.dirname(path))[len("eval_"):]
+        # "fresher overrides" by mtime, literally: a stale scratch copy
+        # lingering from an earlier session must not shadow a durable
+        # artifact updated out-of-band (e.g. pulled eval results)
+        if (name not in paths
+                or os.path.getmtime(path) >= os.path.getmtime(paths[name])):
+            paths[name] = path
     return [paths[k] for k in sorted(paths)]
 
 

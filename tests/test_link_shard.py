@@ -188,16 +188,10 @@ def test_hybrid_env_x_link_sharding_bitexact(stochastic):
 
 
 def _grid_adjacency(n: int) -> np.ndarray:
-    """n x n 4-neighbour grid adjacency (int8, vectorized build)."""
-    N = n * n
-    idx = np.arange(N, dtype=np.int64).reshape(n, n)
-    h = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1)
-    v = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], axis=1)
-    edges = np.concatenate([h, v], axis=0)
-    adj = np.zeros((N, N), dtype=np.int8)
-    adj[edges[:, 0], edges[:, 1]] = 1
-    adj[edges[:, 1], edges[:, 0]] = 1
-    return adj
+    """n x n 4-neighbour grid adjacency (the package's own generator)."""
+    from pednstream_tpu.config import grid_adjacency
+
+    return grid_adjacency(n, n)
 
 
 @pytest.mark.xslow  # ~40s: builds + compiles a 108k-link network
