@@ -254,3 +254,44 @@ def test_link_sharded_100k_link_grid():
                               record=False)[0]
     )(ep, st)
     _assert_states_bitequal(ref, out)
+
+
+class _FakeCompiled:
+    """Stand-in for a jax Compiled object: only as_text() is consumed."""
+
+    def __init__(self, hlo: str):
+        self._hlo = hlo
+
+    def as_text(self) -> str:
+        return self._hlo
+
+
+def test_ring_collective_guard_sees_variadic_and_async_forms():
+    """The memory-claim guard must catch every HLO spelling a ring-sized
+    collective can take — XLA's combiner passes emit TUPLE-shaped
+    variadic all-reduce/all-gather, GSPMD can choose reduce-scatter, and
+    async schedules split ops into -start/-done pairs.  The round-5
+    review found the original regex blind to all three (a full ring
+    hidden in a combined collective passed silently)."""
+    ring = 16 * 108240 * 4  # H * E * f32
+
+    # small collectives and ring-sized NON-collectives must pass
+    n, v = assert_no_full_ring_collectives(_FakeCompiled("""
+      %ag = f32[16,13530]{1,0} all-gather(f32[16,1692]{1,0} %p), replica_groups={}
+      %cp = f32[108240]{0} collective-permute(f32[108240]{0} %x)
+      %big = f32[16,108240]{1,0} fusion(f32[16,108240]{1,0} %y), calls=%fc
+    """), ring)
+    assert (n, v) == (2, 0)
+
+    for label, hlo in [
+        ("tuple all-reduce",
+         "%ar.c = (f32[16,108240]{1,0}, f32[108240]{0}) "
+         "all-reduce(f32[16,108240]{1,0} %a, f32[108240]{0} %b)"),
+        ("reduce-scatter",
+         "%rs = f32[16,108240]{1,0} reduce-scatter(f32[16,865920]{1,0} %a)"),
+        ("async all-gather-start",
+         "%ags = (f32[16,13530]{1,0}, f32[16,108240]{1,0}) "
+         "all-gather-start(f32[16,13530]{1,0} %p)"),
+    ]:
+        with pytest.raises(AssertionError):
+            assert_no_full_ring_collectives(_FakeCompiled(hlo), ring)
